@@ -1,0 +1,206 @@
+"""Ciphertext-level HE operations — NumPy golden model.
+
+These are the four "kernels" the reference accelerator ships as canned
+instruction programs (reference: sim/vp/isram_file_generator/{encode_post,
+mul_plain,hom_add,keyswitch}.mem; program offsets
+isram_file_generator.sv:27-31), re-expressed as functional host code over RNS
+polynomial arrays.  Each function is validated bit-exactly against the
+reference's tv/ golden vectors by tests/test_he_tv.py.
+
+Data model
+----------
+A ciphertext is ``(a, b)`` where each component is a uint64 array of shape
+``(n_limbs, N)`` holding RNS residues (limb 0 = q0, limb 1 = q1), stored in
+the *NTT (evaluation) domain in bit-reversed order* — the exact at-rest format
+of the reference SPM (tv/README.md: ct_a(q0) | ct_a(q1) | ct_b(q0) | ct_b(q1)).
+``a`` is the message component (decrypt = a + b*s), ``b`` multiplies the key.
+
+A plaintext is a uint64 array of shape ``(n_limbs, N)``, same domain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from aloha_tpu import ntt_np as nttm
+from aloha_tpu import rns_np as rns
+from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
+
+
+@dataclasses.dataclass
+class Ciphertext:
+    """RNS-CKKS ciphertext, NTT domain, bit-reversed order."""
+
+    a: np.ndarray  # (n_limbs, N) uint64 — message component
+    b: np.ndarray  # (n_limbs, N) uint64 — key component
+
+    @classmethod
+    def from_flat(cls, flat: np.ndarray, n_limbs: int = 2) -> "Ciphertext":
+        """From the reference dump layout a_q0 | a_q1 | b_q0 | b_q1."""
+        flat = rns.to_u64(flat)
+        n = flat.shape[-1] // (2 * n_limbs)
+        polys = flat.reshape(2 * n_limbs, n)
+        return cls(a=polys[:n_limbs].copy(), b=polys[n_limbs:].copy())
+
+    def to_flat(self) -> np.ndarray:
+        return np.concatenate([self.a.ravel(), self.b.ravel()])
+
+
+def hom_add(ct1: Ciphertext, ct2: Ciphertext, cfg: HEConfig = DEFAULT_CONFIG) -> Ciphertext:
+    """ct + ct: limb-wise modular add of both components.
+
+    (reference program: sim/vp/isram_file_generator/hom_add.mem — 4 vfqadd)
+    """
+    a = np.stack(
+        [rns.addmod(ct1.a[i], ct2.a[i], cfg.moduli[i]) for i in range(len(ct1.a))]
+    )
+    b = np.stack(
+        [rns.addmod(ct1.b[i], ct2.b[i], cfg.moduli[i]) for i in range(len(ct1.b))]
+    )
+    return Ciphertext(a=a, b=b)
+
+
+def mul_plain(ct: Ciphertext, pt: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG) -> Ciphertext:
+    """ct x pt: limb-wise pointwise modular multiply (both in NTT domain).
+
+    (reference program: sim/vp/isram_file_generator/mul_plain.mem — 4 vfqmul)
+    """
+    pt = rns.to_u64(pt)
+    a = np.stack(
+        [rns.mulmod(ct.a[i], pt[i], cfg.moduli[i]) for i in range(len(ct.a))]
+    )
+    b = np.stack(
+        [rns.mulmod(ct.b[i], pt[i], cfg.moduli[i]) for i in range(len(ct.b))]
+    )
+    return Ciphertext(a=a, b=b)
+
+
+def encode_post(pt_coeff: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Per-limb forward NTT of an encoded plaintext.
+
+    The reference runs this VP program after the fixed-point FFT encoder has
+    written coefficient-domain residues into the SPM
+    (reference program: sim/vp/isram_file_generator/encode_post.mem;
+    host flow: sim/top/top_noaxilite_tb.sv:419-448).
+    """
+    pt_coeff = rns.to_u64(pt_coeff)
+    return np.stack(
+        [nttm.ntt_cfg(pt_coeff[i], cfg, i) for i in range(pt_coeff.shape[0])]
+    )
+
+
+def keyswitch_digits(ct_b: np.ndarray, step_exp: int, cfg: HEConfig = DEFAULT_CONFIG):
+    """INTT -> automorphism per limb: the rotation's digit polynomials.
+
+    Returns the coefficient-domain digits [d0, d1] (one per ciphertext limb),
+    each a plain residue vector of its own modulus.
+    """
+    digits = []
+    for i in range(ct_b.shape[0]):
+        coeff = nttm.intt_cfg(ct_b[i], cfg, i)
+        digits.append(nttm.automorphism(coeff, step_exp, cfg.moduli[i]))
+    return digits
+
+
+def rotate(
+    ct: Ciphertext,
+    step: int,
+    ksk: np.ndarray,
+    cfg: HEConfig = DEFAULT_CONFIG,
+) -> Ciphertext:
+    """Slot rotation: automorphism X -> X^(3^step) + hybrid key-switch.
+
+    Mirrors the reference's 122-instruction keyswitch program
+    (reference: sim/vp/isram_file_generator/keyswitch.mem; host launch
+    sim/top/top_noaxilite_tb.sv:530-532 passes 3^step mod 2N as the CSR).
+
+    ``ksk`` is the key-switch key for this step: uint64 (12, N) in NTT
+    domain, ordered as the reference KSK memory image
+    (tv/*/ksk_step*.txt): for each modulus m in (q0, q1, P), for each digit
+    d in (d0, d1), the pair (a-part, b-part):
+        [m0d0a, m0d0b, m0d1a, m0d1b, m1d0a, ..., m2d1b]
+
+    Algorithm (hybrid key-switching, 2 digits + special prime):
+      1. digits d_j = aut(INTT(b_qj)) — coefficient domain          (vintt,vaut)
+      2. raise each digit to all three moduli and NTT               (vfqmod/vcpy,vntt)
+      3. inner products with the KSK under q0, q1, P                (vfqmul,vfqadd)
+      4. mod-down: INTT the P part, add (P-1)/2, re-NTT under qi,
+         subtract, scale by P^-1 mod qi                             (vintt,vfqadd.vs,...)
+      5. add aut(a) to the message part                             (vfqadd)
+    """
+    n = ct.a.shape[-1]
+    step_exp = pow(3, step, 2 * n)
+    moduli = cfg.moduli
+    n_limbs = cfg.n_limbs
+    sp = cfg.special_prime
+    ksk = rns.to_u64(ksk).reshape(12, n)
+
+    # 1. digit decomposition (coefficient domain, own modulus)
+    digits = keyswitch_digits(ct.b, step_exp, cfg)
+
+    # 2. raise digits to every modulus and transform
+    #    digit values are < q_src (or exactly q_src from the aut sign quirk,
+    #    absorbed by the ALU input laziness on the next op).
+    nd = [[None] * (n_limbs + 1) for _ in range(n_limbs)]
+    for j, d in enumerate(digits):
+        for m in range(n_limbs + 1):
+            if m == j:
+                r = d
+            elif moduli[m] > moduli[j]:
+                r = rns.lazy_reduce(d, moduli[m])  # vcpy semantics
+            else:
+                r = rns.modred(d, moduli[m])  # vfqmod semantics
+            nd[j][m] = nttm.ntt(r, moduli[m], cfg.psi[m])
+
+    # 3. KSK inner products per modulus
+    def inner(m, part):  # part 0 = a, 1 = b
+        q = moduli[m]
+        acc = rns.mulmod(nd[0][m], ksk[4 * m + part], q)
+        for j in range(1, n_limbs):
+            acc = rns.addmod(
+                acc, rns.mulmod(nd[j][m], ksk[4 * m + 2 * j + part], q), q
+            )
+        return acc
+
+    c = [[inner(m, part) for part in (0, 1)] for m in range(n_limbs + 1)]
+
+    # 4. mod-down by P with (P-1)/2 rounding
+    half = (sp - 1) // 2
+    m_coeff = [
+        rns.addmod(nttm.intt(c[n_limbs][part], sp, cfg.ipsi[-1]), np.uint64(half), sp)
+        for part in (0, 1)
+    ]
+    out = []
+    for m in range(n_limbs):
+        q = moduli[m]
+        pinv = np.uint64(cfg.pinv_mod(m))
+        pair = []
+        for part in (0, 1):
+            corr = nttm.ntt(
+                rns.submod(m_coeff[part], np.uint64(half % q), q), q, cfg.psi[m]
+            )
+            t = rns.submod(c[m][part], corr, q)
+            pair.append(rns.mulmod(t, pinv, q))
+        out.append(pair)
+
+    # 5. rotated message part: aut(a) + key-switch a-part
+    a_rot = np.stack(
+        [
+            rns.addmod(
+                nttm.ntt_cfg(
+                    nttm.automorphism(
+                        nttm.intt_cfg(ct.a[m], cfg, m), step_exp, moduli[m]
+                    ),
+                    cfg,
+                    m,
+                ),
+                out[m][0],
+                moduli[m],
+            )
+            for m in range(n_limbs)
+        ]
+    )
+    b_rot = np.stack([out[m][1] for m in range(n_limbs)])
+    return Ciphertext(a=a_rot, b=b_rot)
