@@ -1,0 +1,136 @@
+"""The accelerator-device model: memories, DMA, and the CSR launch API.
+
+Mirrors the reference SoC's host-visible surface
+(reference: src/top/h2_top.sv, src/mem_buf/axil_parse.sv:50-72):
+
+  * a 16 MiB scratchpad (SPM: 16384 rows x 1 KiB, "64 ciphertexts",
+    reference: src/vp/include/vp_defines.vh:27, src/mem_buf/spm.sv)
+  * a 9 MiB key-switch-key memory (reference: src/mem_buf/ksk_mem.sv)
+  * DMA commands 0=KSK, 1=SPM, 2=encoder-stream
+    (reference: src/mem_buf/axi_data_rd_top.sv:46-96)
+  * `run_vp(pc, src0, src1, rslt, step, ksk_ptr)` kernel launches
+    (reference: sim/top/top_noaxilite_tb.sv:396-417)
+
+On TPU the "SPM" is simply device-resident arrays; DMA is host<->device
+transfer; a kernel launch is one jitted XLA program.  The same class serves
+the NumPy golden backend and the JAX backend.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from aloha_tpu.config import (
+    DEFAULT_CONFIG,
+    HEConfig,
+    KSK_ROWS,
+    NUM_LANES,
+    SPM_ROWS,
+)
+from aloha_tpu.isa import programs
+from aloha_tpu.isa.interp import LaunchArgs, NumpyBackend, VectorProcessor
+
+#: Accelerator version register value (reference: axil_parse.sv:174 returns
+#: 0x20230605 at offset 0x104); ours dates this re-design.
+VERSION = 0x20260816
+
+
+class AlohaDevice:
+    """One accelerator instance (single chip)."""
+
+    def __init__(
+        self,
+        cfg: HEConfig = DEFAULT_CONFIG,
+        backend=None,
+        spm_rows: int = SPM_ROWS,
+        ksk_rows: int = KSK_ROWS,
+    ):
+        self.cfg = cfg
+        self.be = backend or NumpyBackend()
+        self.vp = VectorProcessor(cfg, self.be)
+        self.spm = self.be.zeros((spm_rows, NUM_LANES))
+        self.ksk_mem = self.be.zeros((ksk_rows, NUM_LANES))
+        self.isram = programs.isram_image(cfg)
+        self.poly_rows = cfg.n // NUM_LANES  # rows per polynomial (64)
+
+    # ------------------------------------------------------------------ DMA
+    def dma_load_ksk(self, data, row: int = 0) -> None:
+        """DMA command 0: fill the KSK memory (host -> device).
+
+        `data` is uint64, any shape; flattened coefficient-major like the
+        reference DDR image (3 steps x 12 polys for the shipped testbench,
+        reference: sim/top/top_noaxilite_tb.sv:372-393).
+        """
+        flat = np.asarray(data, dtype=np.uint64).reshape(-1, NUM_LANES)
+        self.ksk_mem = self.be.write_rows(
+            self.ksk_mem, row, self.be.wrap(flat)
+        )
+
+    def dma_write_spm(self, spm_row: int, data) -> None:
+        """DMA command 1: DDR -> SPM (used by load_cipher)."""
+        flat = np.asarray(data, dtype=np.uint64).reshape(-1, NUM_LANES)
+        self.spm = self.be.write_rows(self.spm, spm_row, self.be.wrap(flat))
+
+    def dma_read_spm(self, spm_row: int, n_rows: int) -> np.ndarray:
+        """SPM -> DDR (store_cipher / intermediate dumps)."""
+        return self.be.unwrap(
+            self.be.read_rows(self.spm, spm_row, n_rows)
+        ).reshape(n_rows, NUM_LANES)
+
+    # ----------------------------------------------------------- launches
+    def run_vp(
+        self,
+        pc: int,
+        src0: int,
+        src1: int,
+        rslt: int,
+        step: int = 0,
+        ksk_ptr: int = 0,
+    ) -> None:
+        """Kick one VP program; blocks until its vbreak (glb_done)."""
+        args = LaunchArgs(
+            pc=pc, src0=src0, src1=src1, rslt=rslt, step=step, ksk_ptr=ksk_ptr
+        )
+        self.spm = self.vp.run(self.isram, self.spm, self.ksk_mem, args)
+
+    # -- op-level helpers mirroring the reference host tasks
+    #    (reference: sim/top/top_noaxilite_tb.sv:522-532)
+    def run_encode_post(self, dest: int, src: int) -> None:
+        self.run_vp(programs.ISRAM_ENCODE_POST, src, 0, dest)
+
+    def run_mul_plain(self, dest: int, src_ct: int, src_pt: int) -> None:
+        self.run_vp(programs.ISRAM_MUL_PLAIN, src_ct, src_pt, dest)
+
+    def run_hom_add(self, dest: int, src1: int, src2: int) -> None:
+        self.run_vp(programs.ISRAM_HOM_ADD, src1, src2, dest)
+
+    def run_rotate(self, dest: int, src: int, step: int) -> None:
+        """step is the power-of-two slot rotation amount (2, 4, 8, ...).
+
+        CSR step = 3^step mod 2N; KSK slot = (clog2(step)-1) * 12 polys
+        (reference: sim/top/top_noaxilite_tb.sv:530-532).
+        """
+        n = self.cfg.n
+        csr_step = pow(3, step, 2 * n)
+        slot = math.ceil(math.log2(step)) - 1
+        ksk_ptr = slot * 12 * self.poly_rows
+        self.run_vp(
+            programs.ISRAM_KEYSWITCH, src, 0, dest, csr_step, ksk_ptr
+        )
+
+    # ------------------------------------------------------- convenience
+    def load_cipher(self, spm_row: int, flat_ct) -> None:
+        """4-poly ciphertext image -> SPM (DMA command 1)."""
+        self.dma_write_spm(spm_row, flat_ct)
+
+    def store_cipher(self, spm_row: int) -> np.ndarray:
+        return self.dma_read_spm(spm_row, 4 * self.poly_rows).reshape(-1)
+
+    def load_poly(self, spm_row: int, poly) -> None:
+        self.dma_write_spm(spm_row, poly)
+
+    def store_poly(self, spm_row: int, n_polys: int = 1) -> np.ndarray:
+        return self.dma_read_spm(spm_row, n_polys * self.poly_rows).reshape(-1)
