@@ -1,0 +1,157 @@
+"""Ciphertext-level HE operations — JAX/TPU functional path.
+
+The jit-facing mirror of `aloha_tpu.he_np` (same algorithms, same
+bit-exact semantics, certified against it by tests/test_he_jax.py): hom_add,
+mul_plain, encode_post, and rotation with hybrid key-switching
+(reference programs: sim/vp/isram_file_generator/*.mem — see he_np for the
+step-by-step correspondence).
+
+Data model: a ciphertext is a pair of uint64 arrays shaped (..., L, N)
+(leading axes = batch), NTT domain, bit-reversed order; a plaintext is
+(..., L, N).  All functions are pure and jittable; under `jax.jit` with
+sharded inputs the GSPMD partitioner distributes them over a device mesh
+(see aloha_tpu.parallel for the mesh/sharding layer).
+
+Being batch-polymorphic over leading axes is the TPU-native throughput
+story: one rotate() call over a (B, L, N) batch keeps every vector unit
+busy, where the reference streams ciphertexts one at a time through its
+128 lanes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from aloha_tpu import ntt_jax as nt
+from aloha_tpu import rns_xla as r
+from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
+
+
+def _per_limb(fn, a, b, moduli):
+    """Apply fn(a_limb, b_limb, q) over the limb axis (-2)."""
+    outs = [
+        fn(a[..., i, :], b[..., i, :], q) for i, q in enumerate(moduli)
+    ]
+    return jnp.stack(outs, axis=-2)
+
+
+def hom_add(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
+    """(a1+a2, b1+b2) limb-wise; cts are (a, b) tuples of (..., L, N)."""
+    moduli = cfg.moduli[: cfg.n_limbs]
+    return (
+        _per_limb(r.addmod, ct1[0], ct2[0], moduli),
+        _per_limb(r.addmod, ct1[1], ct2[1], moduli),
+    )
+
+
+def mul_plain(ct, pt, cfg: HEConfig = DEFAULT_CONFIG):
+    """(a*pt, b*pt) limb-wise pointwise (NTT domain)."""
+    moduli = cfg.moduli[: cfg.n_limbs]
+    return (
+        _per_limb(r.mulmod, ct[0], pt, moduli),
+        _per_limb(r.mulmod, ct[1], pt, moduli),
+    )
+
+
+def encode_post(pt_coeff, cfg: HEConfig = DEFAULT_CONFIG):
+    """Per-limb forward NTT of an encoded (coefficient-domain) plaintext."""
+    outs = [
+        nt.ntt(pt_coeff[..., i, :], cfg.moduli[i], cfg.psi[i])
+        for i in range(cfg.n_limbs)
+    ]
+    return jnp.stack(outs, axis=-2)
+
+
+def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
+    """Slot rotation: automorphism X -> X^(3^step) + hybrid key-switch.
+
+    ksk: (12, N) uint64, NTT domain, reference KSK layout
+    [m0d0a, m0d0b, m0d1a, m0d1b, m1...] (see he_np.rotate).
+    `step` is the slot amount (python int; the automorphism exponent
+    3^step mod 2N is folded in at trace time).
+    """
+    a, b = ct
+    n = a.shape[-1]
+    step_exp = pow(3, step, 2 * n)
+    return _rotate_exp(ct, step_exp, ksk, cfg)
+
+
+def _rotate_exp(ct, step_exp, ksk, cfg: HEConfig):
+    a, b = ct
+    moduli = cfg.moduli
+    L = cfg.n_limbs
+    sp = cfg.special_prime
+    half = (sp - 1) // 2
+
+    # 1. digits: d_j = aut(INTT(b_qj)), coefficient domain
+    digits = [
+        nt.automorphism(
+            nt.intt(b[..., j, :], moduli[j], cfg.ipsi[j]), step_exp, moduli[j]
+        )
+        for j in range(L)
+    ]
+
+    # 2. raise to every modulus, NTT
+    nd = [[None] * (L + 1) for _ in range(L)]
+    for j, d in enumerate(digits):
+        for m in range(L + 1):
+            if m == j:
+                x = d
+            elif moduli[m] > moduli[j]:
+                x = r.lazy_reduce(d, moduli[m])  # vcpy semantics
+            else:
+                x = r.modred(d, moduli[m])  # vfqmod semantics
+            nd[j][m] = nt.ntt(x, moduli[m], cfg.psi[m])
+
+    # 3. KSK inner products per modulus
+    def inner(m, part):
+        q = moduli[m]
+        acc = r.mulmod(nd[0][m], ksk[4 * m + part], q)
+        for j in range(1, L):
+            acc = r.addmod(
+                acc, r.mulmod(nd[j][m], ksk[4 * m + 2 * j + part], q), q
+            )
+        return acc
+
+    c = [[inner(m, part) for part in (0, 1)] for m in range(L + 1)]
+
+    # 4. mod-down by P with (P-1)/2 rounding, scale by P^-1 mod q
+    m_coeff = [
+        r.addmod(nt.intt(c[L][part], sp, cfg.ipsi[-1]), r.u64(half), sp)
+        for part in (0, 1)
+    ]
+    ks = [[None, None] for _ in range(L)]
+    for m in range(L):
+        q = moduli[m]
+        pinv = cfg.pinv_mod(m)
+        for part in (0, 1):
+            corr = nt.ntt(
+                r.submod(m_coeff[part], r.u64(half), q), q, cfg.psi[m]
+            )
+            t = r.submod(c[m][part], corr, q)
+            ks[m][part] = r.mulmod(t, jnp.broadcast_to(r.u64(pinv), t.shape), q)
+
+    # 5. rotated message part: aut(a) + key-switch a-part
+    a_rot = jnp.stack(
+        [
+            r.addmod(
+                nt.ntt(
+                    nt.automorphism(
+                        nt.intt(a[..., m, :], moduli[m], cfg.ipsi[m]),
+                        step_exp,
+                        moduli[m],
+                    ),
+                    moduli[m],
+                    cfg.psi[m],
+                ),
+                ks[m][0],
+                moduli[m],
+            )
+            for m in range(L)
+        ],
+        axis=-2,
+    )
+    b_rot = jnp.stack([ks[m][1] for m in range(L)], axis=-2)
+    return (a_rot, b_rot)

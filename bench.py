@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: N=2^13 negacyclic NTT throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The reference publishes no wall-clock numbers (its FPGA clock is unset; see
+BASELINE.md) — the north-star target is >= 1e6 N=2^13 NTTs/s per chip
+(BASELINE.json), so vs_baseline = value / 1e6.
+
+Set ALOHA_BENCH_SMOKE=1 for a fast smoke run (small batch/iters).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: repeated bench runs skip the ~1-2 min
+    # first-compile of the u64 NTT graph
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from aloha_tpu import ntt_jax
+    from aloha_tpu.config import DEFAULT_CONFIG as CFG
+
+    smoke = bool(os.environ.get("ALOHA_BENCH_SMOKE"))
+    batch = 16 if smoke else 256
+    iters = 3 if smoke else 20
+    n = CFG.n
+    q, psi = CFG.moduli[0], CFG.psi[0]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
+
+    # Prefer the Pallas kernel when available on this backend; fall back to
+    # the XLA graph path.
+    impl = "xla"
+    fn = jax.jit(lambda v: ntt_jax.ntt(v, q, psi))
+    try:
+        from aloha_tpu.ops import ntt_pallas
+
+        if ntt_pallas.available():
+            fn = jax.jit(lambda v: ntt_pallas.ntt(v, q, psi))
+            impl = "pallas"
+    except Exception:
+        pass
+
+    fn(x).block_until_ready()  # compile
+    # timed runs
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    ntts_per_sec = batch / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"ntt{n}_throughput_{impl}",
+                "value": round(ntts_per_sec, 1),
+                "unit": "NTT/s/chip",
+                "vs_baseline": round(ntts_per_sec / 1e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

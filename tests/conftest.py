@@ -9,12 +9,18 @@ flags must be set before jax is first imported, hence this conftest.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The hosted environment pins JAX_PLATFORMS to its TPU plugin; the env var
+# route is overridden there, so force the CPU backend through jax.config
+# (tests must not burn TPU time — and need the 8 virtual devices above).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
