@@ -104,6 +104,70 @@ def keyswitch_digits(ct_b: np.ndarray, step_exp: int, cfg: HEConfig = DEFAULT_CO
     return digits
 
 
+def hybrid_keyswitch(
+    digits, ksk: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG
+):
+    """Hybrid key-switch core: coefficient-domain digits -> (ks_a, ks_b).
+
+    `digits` is a list of n_limbs coefficient-domain polynomials (the
+    per-limb residues of the polynomial being switched, optionally already
+    automorphed); `ksk` is the 12-poly key image.  Returns NTT-domain
+    (n_limbs, N) pairs.  This is steps 2-4 of the reference keyswitch
+    program (sim/vp/isram_file_generator/keyswitch.mem), shared between
+    rotation (digits of aut(b)) and relinearization (digits of d2).
+    """
+    n = cfg.n
+    moduli = cfg.moduli
+    n_limbs = cfg.n_limbs
+    sp = cfg.special_prime
+    ksk = rns.to_u64(ksk).reshape(4 * (n_limbs + 1), n)
+
+    # raise digits to every modulus and transform
+    nd = [[None] * (n_limbs + 1) for _ in range(n_limbs)]
+    for j, d in enumerate(digits):
+        for m in range(n_limbs + 1):
+            if m == j:
+                r = d
+            elif moduli[m] > moduli[j]:
+                r = rns.lazy_reduce(d, moduli[m])  # vcpy semantics
+            else:
+                r = rns.modred(d, moduli[m])  # vfqmod semantics
+            nd[j][m] = nttm.ntt(r, moduli[m], cfg.psi[m])
+
+    def inner(m, part):
+        q = moduli[m]
+        acc = rns.mulmod(nd[0][m], ksk[4 * m + part], q)
+        for j in range(1, n_limbs):
+            acc = rns.addmod(
+                acc, rns.mulmod(nd[j][m], ksk[4 * m + 2 * j + part], q), q
+            )
+        return acc
+
+    c = [[inner(m, part) for part in (0, 1)] for m in range(n_limbs + 1)]
+
+    # mod-down by P with (P-1)/2 rounding
+    half = (sp - 1) // 2
+    m_coeff = [
+        rns.addmod(
+            nttm.intt(c[n_limbs][part], sp, cfg.ipsi[-1]), np.uint64(half), sp
+        )
+        for part in (0, 1)
+    ]
+    ks_a = np.empty((n_limbs, n), dtype=np.uint64)
+    ks_b = np.empty((n_limbs, n), dtype=np.uint64)
+    for m in range(n_limbs):
+        q = moduli[m]
+        pinv = np.uint64(cfg.pinv_mod(m))
+        for part, out in ((0, ks_a), (1, ks_b)):
+            corr = nttm.ntt(
+                rns.submod(m_coeff[part], np.uint64(half % q), q), q,
+                cfg.psi[m],
+            )
+            t = rns.submod(c[m][part], corr, q)
+            out[m] = rns.mulmod(t, pinv, q)
+    return ks_a, ks_b
+
+
 def rotate(
     ct: Ciphertext,
     step: int,
@@ -134,58 +198,12 @@ def rotate(
     step_exp = pow(3, step, 2 * n)
     moduli = cfg.moduli
     n_limbs = cfg.n_limbs
-    sp = cfg.special_prime
-    ksk = rns.to_u64(ksk).reshape(12, n)
 
-    # 1. digit decomposition (coefficient domain, own modulus)
+    # digit decomposition (coefficient domain, own modulus) then key-switch
     digits = keyswitch_digits(ct.b, step_exp, cfg)
+    ks_a, ks_b = hybrid_keyswitch(digits, ksk, cfg)
 
-    # 2. raise digits to every modulus and transform
-    #    digit values are < q_src (or exactly q_src from the aut sign quirk,
-    #    absorbed by the ALU input laziness on the next op).
-    nd = [[None] * (n_limbs + 1) for _ in range(n_limbs)]
-    for j, d in enumerate(digits):
-        for m in range(n_limbs + 1):
-            if m == j:
-                r = d
-            elif moduli[m] > moduli[j]:
-                r = rns.lazy_reduce(d, moduli[m])  # vcpy semantics
-            else:
-                r = rns.modred(d, moduli[m])  # vfqmod semantics
-            nd[j][m] = nttm.ntt(r, moduli[m], cfg.psi[m])
-
-    # 3. KSK inner products per modulus
-    def inner(m, part):  # part 0 = a, 1 = b
-        q = moduli[m]
-        acc = rns.mulmod(nd[0][m], ksk[4 * m + part], q)
-        for j in range(1, n_limbs):
-            acc = rns.addmod(
-                acc, rns.mulmod(nd[j][m], ksk[4 * m + 2 * j + part], q), q
-            )
-        return acc
-
-    c = [[inner(m, part) for part in (0, 1)] for m in range(n_limbs + 1)]
-
-    # 4. mod-down by P with (P-1)/2 rounding
-    half = (sp - 1) // 2
-    m_coeff = [
-        rns.addmod(nttm.intt(c[n_limbs][part], sp, cfg.ipsi[-1]), np.uint64(half), sp)
-        for part in (0, 1)
-    ]
-    out = []
-    for m in range(n_limbs):
-        q = moduli[m]
-        pinv = np.uint64(cfg.pinv_mod(m))
-        pair = []
-        for part in (0, 1):
-            corr = nttm.ntt(
-                rns.submod(m_coeff[part], np.uint64(half % q), q), q, cfg.psi[m]
-            )
-            t = rns.submod(c[m][part], corr, q)
-            pair.append(rns.mulmod(t, pinv, q))
-        out.append(pair)
-
-    # 5. rotated message part: aut(a) + key-switch a-part
+    # rotated message part: aut(a) + key-switch a-part
     a_rot = np.stack(
         [
             rns.addmod(
@@ -196,11 +214,90 @@ def rotate(
                     cfg,
                     m,
                 ),
-                out[m][0],
+                ks_a[m],
                 moduli[m],
             )
             for m in range(n_limbs)
         ]
     )
-    b_rot = np.stack([out[m][1] for m in range(n_limbs)])
-    return Ciphertext(a=a_rot, b=b_rot)
+    return Ciphertext(a=a_rot, b=ks_b)
+
+
+def ct_mul(
+    ct1: Ciphertext, ct2: Ciphertext, cfg: HEConfig = DEFAULT_CONFIG
+):
+    """Ciphertext x ciphertext tensor product (NTT domain, pointwise).
+
+    Returns the degree-2 triple (d0, d1, d2) with
+    decrypt = d0 + d1*s + d2*s^2; feed d2 to `relinearize`.
+    Extends the reference's op set (it ships only ct x pt) toward the
+    leveled ct-ct multiply + relinearization target (BASELINE.json).
+    """
+    L = cfg.n_limbs
+    d0 = np.stack(
+        [rns.mulmod(ct1.a[m], ct2.a[m], cfg.moduli[m]) for m in range(L)]
+    )
+    d2 = np.stack(
+        [rns.mulmod(ct1.b[m], ct2.b[m], cfg.moduli[m]) for m in range(L)]
+    )
+    d1 = np.stack(
+        [
+            rns.addmod(
+                rns.mulmod(ct1.a[m], ct2.b[m], cfg.moduli[m]),
+                rns.mulmod(ct1.b[m], ct2.a[m], cfg.moduli[m]),
+                cfg.moduli[m],
+            )
+            for m in range(L)
+        ]
+    )
+    return d0, d1, d2
+
+
+def relinearize(
+    d0: np.ndarray,
+    d1: np.ndarray,
+    d2: np.ndarray,
+    rlk: np.ndarray,
+    cfg: HEConfig = DEFAULT_CONFIG,
+) -> Ciphertext:
+    """Fold the s^2 component back to degree 1 with the relin key (s^2->s)."""
+    L = cfg.n_limbs
+    digits = [nttm.intt_cfg(d2[j], cfg, j) for j in range(L)]
+    ks_a, ks_b = hybrid_keyswitch(digits, rlk, cfg)
+    a = np.stack(
+        [rns.addmod(d0[m], ks_a[m], cfg.moduli[m]) for m in range(L)]
+    )
+    b = np.stack(
+        [rns.addmod(d1[m], ks_b[m], cfg.moduli[m]) for m in range(L)]
+    )
+    return Ciphertext(a=a, b=b)
+
+
+def rescale(ct: Ciphertext, cfg: HEConfig = DEFAULT_CONFIG) -> Ciphertext:
+    """Drop the last ciphertext limb: c' = round(c / q_last) over remaining
+    limbs (the CKKS modulus-switch that follows every multiply).
+
+    Returns a ciphertext with n_limbs-1 limbs; scale divides by q_last.
+    """
+    L = cfg.n_limbs
+    if L < 2:
+        raise ValueError("rescale needs at least 2 limbs")
+    q_last = cfg.moduli[L - 1]
+    half = (q_last - 1) // 2
+
+    def down(part):
+        # centered lift of the last limb, like the keyswitch mod-down
+        last_coeff = rns.addmod(
+            nttm.intt_cfg(part[L - 1], cfg, L - 1), np.uint64(half), q_last
+        )
+        out = np.empty((L - 1, part.shape[-1]), dtype=np.uint64)
+        for m in range(L - 1):
+            q = cfg.moduli[m]
+            inv = np.uint64(pow(q_last, -1, q))
+            corr = nttm.ntt_cfg(
+                rns.submod(last_coeff, np.uint64(half % q), q), cfg, m
+            )
+            out[m] = rns.mulmod(rns.submod(part[m], corr, q), inv, q)
+        return out
+
+    return Ciphertext(a=down(ct.a), b=down(ct.b))

@@ -1,0 +1,223 @@
+"""Key generation, encryption, decryption — host-side (NumPy).
+
+The reference accelerator consumes externally generated keys (KSK images
+DMA'd into its key memory, reference: sim/top/top_noaxilite_tb.sv:372-393;
+tv/*/ksk_step*.txt) and never generates them.  A complete framework needs
+the full lifecycle, so this module provides RNS-CKKS key generation that
+emits key-switch keys in the *exact memory layout the accelerator expects*
+([m0d0a, m0d0b, m0d1a, m0d1b, m1...], certified against the tv/ dumps by
+tests/test_he_tv.py::test_ksk_layout), plus RLWE encrypt/decrypt used by
+the end-to-end homomorphic-correctness tests.
+
+Hybrid key-switching relations (2 digits {q0},{q1} + special prime P):
+
+    digit_j(c) = [c]_{q_j}  (plain residue, as the accelerator's keyswitch
+                             program decomposes, see he_np.rotate)
+    c == sum_j digit_j(c) * e_j  (mod Q),  e_j the CRT idempotents
+    KSK_j = (ka_j, kb_j) with  ka_j + kb_j*s_tgt == P*e_j*s_src + err
+                                                   (mod q_m, every modulus)
+
+so that sum_j d_j*KSK_j ~= P*(c's key part)*s_src, and the accelerator's
+(P-1)/2-rounded mod-down (keyswitch.mem lines 79-110) divides P back out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from aloha_tpu import ntt_np, rns_np
+from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
+from aloha_tpu.he_np import Ciphertext
+
+
+@dataclasses.dataclass
+class SecretKey:
+    coeff: np.ndarray  # (N,) int64 in {-1, 0, 1}
+    ntt: np.ndarray  # (n_moduli, N) uint64, NTT domain residues
+
+
+def _to_residues(signed_coeff: np.ndarray, cfg: HEConfig) -> np.ndarray:
+    """Signed integers -> residues under every modulus (incl. P)."""
+    out = np.empty((len(cfg.moduli), cfg.n), dtype=np.uint64)
+    for m, q in enumerate(cfg.moduli):
+        out[m] = np.mod(signed_coeff, q).astype(np.uint64)
+    return out
+
+
+def gen_secret(cfg: HEConfig = DEFAULT_CONFIG, rng=None) -> SecretKey:
+    rng = rng or np.random.default_rng()
+    coeff = rng.integers(-1, 2, size=cfg.n, dtype=np.int64)
+    res = _to_residues(coeff, cfg)
+    ntt = np.stack(
+        [ntt_np.ntt(res[m], q, cfg.psi[m]) for m, q in enumerate(cfg.moduli)]
+    )
+    return SecretKey(coeff=coeff, ntt=ntt)
+
+
+def _noise(cfg: HEConfig, rng, sigma: float = 3.2) -> np.ndarray:
+    return np.rint(rng.normal(0.0, sigma, size=cfg.n)).astype(np.int64)
+
+
+def _uniform_ntt(cfg: HEConfig, rng, n_limbs: int) -> np.ndarray:
+    """Uniform element of R_Q (Q = product of first n_limbs+P? no — caller
+    picks which moduli): one uniform *integer* polynomial mod prod(moduli),
+    returned as per-modulus NTT-domain residues.
+
+    Sampling residues per modulus independently would not correspond to a
+    single ring element; instead sample big integers and reduce.
+    """
+    moduli = cfg.moduli
+    big_q = 1
+    for q in moduli:
+        big_q *= q
+    bits = big_q.bit_length()
+    n_chunks = (bits + 62) // 63
+    vals = np.zeros(cfg.n, dtype=object)
+    for c in range(n_chunks):
+        chunk = rng.integers(0, 1 << 63, size=cfg.n, dtype=np.uint64)
+        vals = vals + (chunk.astype(object) << (63 * c))
+    vals = vals % big_q
+    out = np.empty((len(moduli), cfg.n), dtype=np.uint64)
+    for m, q in enumerate(moduli):
+        out[m] = (vals % q).astype(np.uint64)
+        out[m] = ntt_np.ntt(out[m], q, cfg.psi[m])
+    return out
+
+
+def _crt_idempotents(cfg: HEConfig) -> List[int]:
+    """e_j for the ciphertext limbs: e_j == 1 mod q_j, == 0 mod other limbs
+    (as integers mod Q = prod of ciphertext limbs)."""
+    L = cfg.n_limbs
+    Q = 1
+    for q in cfg.moduli[:L]:
+        Q *= q
+    out = []
+    for j in range(L):
+        qj = cfg.moduli[j]
+        qhat = Q // qj
+        out.append(qhat * pow(qhat, -1, qj) % Q)
+    return out
+
+
+def gen_ksk(
+    s_src_coeff: np.ndarray,
+    s_tgt: SecretKey,
+    cfg: HEConfig = DEFAULT_CONFIG,
+    rng=None,
+) -> np.ndarray:
+    """Key-switch key s_src -> s_tgt in the accelerator's 12-poly layout.
+
+    Returns (4*(n_limbs+1), N) uint64 = [m0d0a, m0d0b, m0d1a, m0d1b, ...],
+    NTT domain — byte-compatible with the reference's ksk_step*.txt images
+    and the KSK memory DMA format.
+    """
+    rng = rng or np.random.default_rng()
+    L = cfg.n_limbs
+    nmod = L + 1
+    sp = cfg.special_prime
+    idem = _crt_idempotents(cfg)
+    src_res = _to_residues(s_src_coeff, cfg)
+    src_ntt = np.stack(
+        [
+            ntt_np.ntt(src_res[m], q, cfg.psi[m])
+            for m, q in enumerate(cfg.moduli)
+        ]
+    )
+    out = np.zeros((4 * nmod, cfg.n), dtype=np.uint64)
+    for j in range(L):
+        kb = _uniform_ntt(cfg, rng, L)
+        err = _noise(cfg, rng)
+        err_res = _to_residues(err, cfg)
+        for m, q in enumerate(cfg.moduli):
+            # P*e_j mod q: zero under P and under other limbs; P mod q_j
+            # under the digit's own modulus.
+            pe = (sp % q) * (idem[j] % q) % q if m < L else 0
+            if m < L and m != j:
+                pe = (sp % q) * (idem[j] % q) % q  # == 0 since e_j == 0
+            target = rns_np.mulmod(
+                src_ntt[m], np.uint64(pe), q
+            )  # P*e_j*s_src (NTT domain)
+            e_ntt = ntt_np.ntt(err_res[m], q, cfg.psi[m])
+            target = rns_np.addmod(target, e_ntt, q)
+            ka = rns_np.submod(
+                target, rns_np.mulmod(kb[m], s_tgt.ntt[m], q), q
+            )
+            out[4 * m + 2 * j + 0] = ka
+            out[4 * m + 2 * j + 1] = kb[m]
+    return out
+
+
+def gen_rotation_key(
+    sk: SecretKey, step: int, cfg: HEConfig = DEFAULT_CONFIG, rng=None
+) -> np.ndarray:
+    """KSK for the slot rotation by `step`: aut(s) -> s, aut = X -> X^(3^step)."""
+    step_exp = pow(3, step, 2 * cfg.n)
+    # automorphism on the signed secret: coefficient permutation with sign
+    n = cfg.n
+    i = np.arange(n)
+    jdx = (i * step_exp) % (2 * n)
+    s_aut = np.zeros(n, dtype=np.int64)
+    s_aut[jdx & (n - 1)] = np.where(jdx >= n, -sk.coeff, sk.coeff)
+    return gen_ksk(s_aut, sk, cfg, rng)
+
+
+def gen_relin_key(
+    sk: SecretKey, cfg: HEConfig = DEFAULT_CONFIG, rng=None
+) -> np.ndarray:
+    """KSK for relinearization: s^2 -> s.
+
+    s^2 is not ternary; gen_ksk takes signed coefficients, so compute the
+    integer coefficients of s^2 in the negacyclic ring.
+    """
+    n = cfg.n
+    s = sk.coeff
+    # negacyclic convolution (exact, small ints)
+    s2 = np.zeros(n, dtype=np.int64)
+    for shift in range(n):  # O(n * nnz) — acceptable for ternary s
+        c = s[shift]
+        if c == 0:
+            continue
+        s2[shift:] += c * s[: n - shift]
+        s2[:shift] -= c * s[n - shift :]
+    return gen_ksk(s2, sk, cfg, rng)
+
+
+def encrypt(
+    m_signed: np.ndarray,
+    sk: SecretKey,
+    cfg: HEConfig = DEFAULT_CONFIG,
+    rng=None,
+) -> Ciphertext:
+    """Symmetric RLWE encryption of signed coefficients (decrypt = a + b*s)."""
+    rng = rng or np.random.default_rng()
+    L = cfg.n_limbs
+    n = cfg.n
+    b = np.empty((L, n), dtype=np.uint64)
+    a = np.empty((L, n), dtype=np.uint64)
+    e = _noise(cfg, rng)
+    me = _to_residues(np.asarray(m_signed, dtype=np.int64) + e, cfg)
+    for m, q in enumerate(cfg.moduli[:L]):
+        b[m] = rng.integers(0, q, size=n, dtype=np.uint64)  # NTT domain
+        msg_ntt = ntt_np.ntt(me[m], q, cfg.psi[m])
+        a[m] = rns_np.submod(
+            msg_ntt, rns_np.mulmod(b[m], sk.ntt[m], q), q
+        )
+    return Ciphertext(a=a, b=b)
+
+
+def decrypt(
+    ct: Ciphertext, sk: SecretKey, cfg: HEConfig = DEFAULT_CONFIG, limb: int = 0
+) -> np.ndarray:
+    """Signed (centered) coefficients of a + b*s under one limb."""
+    q = cfg.moduli[limb]
+    m_ntt = rns_np.addmod(
+        ct.a[limb], rns_np.mulmod(ct.b[limb], sk.ntt[limb], q), q
+    )
+    m = ntt_np.intt(m_ntt, q, cfg.ipsi[limb])
+    half = np.uint64(q // 2)
+    return np.where(
+        m > half, m.astype(np.int64) - np.int64(q), m.astype(np.int64)
+    )

@@ -25,8 +25,8 @@ import numpy as np
 
 from aloha_tpu.config import MOD_WIDTH, barrett_iq
 
-_M16 = jnp.uint32(0xFFFF)
-U32 = jnp.uint32
+_M16 = np.uint32(0xFFFF)  # numpy scalar: folds into Pallas kernels
+U32 = np.uint32
 
 
 # ----------------------------------------------------------------- packing
@@ -62,7 +62,7 @@ def join(lo, hi):
 def const64(value: int):
     """Python int -> (lo, hi) uint32 scalar pair (trace-time constant)."""
     value &= (1 << 64) - 1
-    return jnp.uint32(value & 0xFFFFFFFF), jnp.uint32(value >> 32)
+    return np.uint32(value & 0xFFFFFFFF), np.uint32(value >> 32)
 
 
 # ------------------------------------------------------------- wide multiply

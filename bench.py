@@ -41,17 +41,19 @@ def main():
     x = jnp.asarray(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 
     # Prefer the Pallas kernel when available on this backend; fall back to
-    # the XLA graph path.
+    # the XLA graph path (including on kernel-compile failure).
     impl = "xla"
     fn = jax.jit(lambda v: ntt_jax.ntt(v, q, psi))
     try:
         from aloha_tpu.ops import ntt_pallas
 
         if ntt_pallas.available():
-            fn = jax.jit(lambda v: ntt_pallas.ntt(v, q, psi))
-            impl = "pallas"
-    except Exception:
-        pass
+            pfn = jax.jit(lambda v: ntt_pallas.ntt(v, q, psi))
+            pfn(x).block_until_ready()
+            fn, impl = pfn, "pallas"
+    except Exception as e:  # pragma: no cover
+        print(f"# pallas kernel unavailable ({type(e).__name__}); xla path",
+              file=sys.stderr)
 
     fn(x).block_until_ready()  # compile
     # timed runs
