@@ -24,8 +24,29 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-from aloha_tpu import ntt_jax as nt
+from aloha_tpu import ntt_jax
 from aloha_tpu import rns_xla as r
+from aloha_tpu.ops import dispatch as nt_dispatch
+
+
+class _NT:
+    """Indirection so rotate/encode_post pick up the dispatcher's NTT
+    implementation (xla or pallas) at trace time; automorphism/rotate_lanes
+    stay on the XLA path (index-map ops)."""
+
+    @staticmethod
+    def ntt(a, q, psi):
+        return nt_dispatch.ntt(a, q, psi)
+
+    @staticmethod
+    def intt(a, q, ipsi):
+        return nt_dispatch.intt(a, q, ipsi)
+
+    automorphism = staticmethod(ntt_jax.automorphism)
+    rotate_lanes = staticmethod(ntt_jax.rotate_lanes)
+
+
+nt = _NT
 from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
 
 

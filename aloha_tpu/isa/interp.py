@@ -142,6 +142,11 @@ class VectorProcessor:
         `program` is a list of Instr; when launched from a full instruction
         RAM image, slice it at args.pc first (the fetch FSM's PC counter,
         reference: src/vp/sequncer/seq_top.v:179-221).
+
+        `trace`, when given, collects (pc, instr, result) for every
+        result-producing instruction — the framework's co-simulation tier
+        (see aloha_tpu.trace_db; reference analogue: the tdb trace replay
+        of sim/vp/top/vp_top_tb.sv).  Not usable under jit.
         """
         cfg, be = self.cfg, self.be
         args = args or LaunchArgs()
@@ -150,7 +155,7 @@ class VectorProcessor:
         q = cfg.moduli[0]
         seg_base = {0: args.src0, 1: args.src1, 2: args.rslt}
 
-        for instr in program[args.pc :]:
+        for pc_off, instr in enumerate(program[args.pc :]):
             f6 = instr.funct6
             if f6 == Funct6.VBREAK:
                 break
@@ -184,7 +189,9 @@ class VectorProcessor:
                 base = seg_base[instr.segment]
                 spm = be.write_rows(spm, base + row, vregs[instr.vs1])
                 if trace is not None:
-                    trace.append((instr, be.unwrap(vregs[instr.vs1])))
+                    trace.append(
+                        (args.pc + pc_off, instr, be.unwrap(vregs[instr.vs1]))
+                    )
             elif f6 == Funct6.VNTT:
                 limb = self._limb_of[q]
                 vregs[instr.vd] = be.ntt(vregs[instr.vs1], q, cfg.psi[limb])
@@ -205,6 +212,12 @@ class VectorProcessor:
                 vregs[instr.vd] = self._alu(instr, vregs, q)
             else:
                 raise NotImplementedError(f"funct6 {f6!r}")
+            if trace is not None and f6 not in (
+                Funct6.VSE, Funct6.VSETVL, Funct6.VSETQ, Funct6.VSETIQ,
+            ):
+                trace.append(
+                    (args.pc + pc_off, instr, be.unwrap(vregs[instr.vd]))
+                )
         return spm
 
     def _alu(self, instr: Instr, vregs, q):

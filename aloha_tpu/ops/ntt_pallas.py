@@ -173,34 +173,43 @@ def _gs_butterfly(ulo, uhi, vlo, vhi, wlo, whi, slo, shi, q):
 
 
 def _row_split(x, tr: int):
-    """(rows, LANES) -> top/bottom halves of each 2*tr-row block."""
-    rows = x.shape[0]
-    v = x.reshape(rows // (2 * tr), 2, tr, LANES)
+    """(R, LANES) -> top/bottom halves of each 2*tr-row block.
+
+    R may be bp*rows (several polys stacked along sublanes): 2*tr always
+    divides the per-poly row count, so blocks never straddle polys.
+    """
+    R = x.shape[0]
+    v = x.reshape(R // (2 * tr), 2, tr, LANES)
     return v[:, 0], v[:, 1]
 
 
 def _row_join(top, bot):
-    mr, tr, lanes = top.shape
-    return jnp.stack([top, bot], axis=1).reshape(mr * 2 * tr, lanes)
+    m, tr, lanes = top.shape
+    return jnp.stack([top, bot], axis=1).reshape(m * 2 * tr, lanes)
 
 
 def _ntt_kernel_body(
     wlo_ref, whi_ref, slo_ref, shi_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref,
-    *, q: int, rows: int, interpret: bool,
+    *, q: int, rows: int, bp: int, interpret: bool,
 ):
     logn = (rows * LANES).bit_length() - 1
     log_rows = rows.bit_length() - 1
     roll = _make_roll(interpret)
-    alo = xlo_ref[...]
-    ahi = xhi_ref[...]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    R = bp * rows
+    # flatten the poly block along sublanes: (bp, rows, LANES) -> (R, LANES)
+    alo = xlo_ref[...].reshape(R, LANES)
+    ahi = xhi_ref[...].reshape(R, LANES)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
 
     # row stages: t = n/2 .. 128  (s = 0 .. log_rows-1)
     for s in range(log_rows):
         tr = rows >> (s + 1)
         ulo, vlo = _row_split(alo, tr)
         uhi, vhi = _row_split(ahi, tr)
-        w = [_row_split(ref[s], tr)[0] for ref in (wlo_ref, whi_ref, slo_ref, shi_ref)]
+        w = [
+            _row_split(ref[s], tr)[0]
+            for ref in (wlo_ref, whi_ref, slo_ref, shi_ref)
+        ]
         (tlo, thi), (blo, bhi) = _ct_butterfly(
             ulo, uhi, vlo, vhi, w[0], w[1], w[2], w[3], q
         )
@@ -227,20 +236,21 @@ def _ntt_kernel_body(
     # canonicalize [0,4q) -> [0,q)
     alo, ahi = _condsub(alo, ahi, 2 * q)
     alo, ahi = _condsub(alo, ahi, q)
-    olo_ref[...] = alo
-    ohi_ref[...] = ahi
+    olo_ref[...] = alo.reshape(bp, rows, LANES)
+    ohi_ref[...] = ahi.reshape(bp, rows, LANES)
 
 
 def _intt_kernel_body(
     wlo_ref, whi_ref, slo_ref, shi_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref,
-    *, q: int, rows: int, interpret: bool,
+    *, q: int, rows: int, bp: int, interpret: bool,
 ):
     logn = (rows * LANES).bit_length() - 1
     log_lanes = LANES.bit_length() - 1
     roll = _make_roll(interpret)
-    alo = xlo_ref[...]
-    ahi = xhi_ref[...]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    R = bp * rows
+    alo = xlo_ref[...].reshape(R, LANES)
+    ahi = xhi_ref[...].reshape(R, LANES)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
 
     # lane stages: t = 1 .. 64
     for s in range(log_lanes):
@@ -264,7 +274,10 @@ def _intt_kernel_body(
         tr = (1 << s) // LANES
         ulo, vlo = _row_split(alo, tr)
         uhi, vhi = _row_split(ahi, tr)
-        w = [_row_split(ref[s], tr)[0] for ref in (wlo_ref, whi_ref, slo_ref, shi_ref)]
+        w = [
+            _row_split(ref[s], tr)[0]
+            for ref in (wlo_ref, whi_ref, slo_ref, shi_ref)
+        ]
         (s0lo, s0hi), (s1lo, s1hi) = _gs_butterfly(
             ulo, uhi, vlo, vhi, w[0], w[1], w[2], w[3], q
         )
@@ -272,8 +285,8 @@ def _intt_kernel_body(
         ahi = _row_join(s0hi, s1hi)
 
     alo, ahi = _condsub(alo, ahi, q)
-    olo_ref[...] = alo
-    ohi_ref[...] = ahi
+    olo_ref[...] = alo.reshape(bp, rows, LANES)
+    ohi_ref[...] = ahi.reshape(bp, rows, LANES)
 
 
 # ------------------------------------------------------------- host wrappers
@@ -285,8 +298,21 @@ def _call(kernel_body, a, q, root, inverse, interpret):
     nb = int(np.prod(batch)) if batch else 1
     logn = n.bit_length() - 1
 
+    # Polys per grid step.  >1 amortizes per-step overhead but multiplies
+    # the VMEM table footprint and trips Mosaic compiler crashes on the
+    # hosted remote-compile toolchain (bp=4 compiles only sometimes, bp=8
+    # never) — default to the reliable 1, override via ALOHA_NTT_BP for
+    # tuning runs.
+    import os
+
+    bp_req = int(os.environ.get("ALOHA_NTT_BP", "1"))
+    bp = bp_req if (bp_req > 0 and nb % bp_req == 0) else 1
+
+    # tables pre-tiled to the poly block (bp copies along sublanes) so the
+    # kernel needs no in-kernel broadcasts
     w_lo, w_hi, s_lo, s_hi = (
-        jnp.asarray(t) for t in _tables_np(n, root, q, inverse)
+        jnp.asarray(np.tile(t, (1, bp, 1)))
+        for t in _tables_np(n, root, q, inverse)
     )
 
     a3 = a.reshape(nb, rows, LANES)
@@ -294,22 +320,25 @@ def _call(kernel_body, a, q, root, inverse, interpret):
     ahi = (a3 >> jnp.uint64(32)).astype(jnp.uint32)
 
     body = functools.partial(
-        kernel_body, q=q, rows=rows, interpret=interpret
+        kernel_body, q=q, rows=rows, bp=bp, interpret=interpret
     )
-    grid = (nb,)
+    grid = (nb // bp,)
+    # index maps must stay int32 under Mosaic; with the global x64 flag on,
+    # literal 0s would trace as i64, so derive them from the program id.
     tbl_spec = pl.BlockSpec(
-        (logn, rows, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        (logn, bp * rows, LANES), lambda i: (i * 0, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
     )
     dat_spec = pl.BlockSpec(
-        (1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (bp, rows, LANES), lambda i: (i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
     )
     # pallas index maps must trace in 32-bit (Mosaic rejects i64 grid
     # indices); the framework otherwise runs with x64 enabled.
     with jax.enable_x64(False):
         call = pl.pallas_call(
             lambda wl, wh, sl, sh, xl, xh, ol, oh: body(
-                wl, wh, sl, sh,
-                xl.at[0], xh.at[0], ol.at[0], oh.at[0],
+                wl, wh, sl, sh, xl, xh, ol, oh
             ),
             grid=grid,
             in_specs=[tbl_spec] * 4 + [dat_spec] * 2,

@@ -134,3 +134,39 @@ class AlohaDevice:
 
     def store_poly(self, spm_row: int, n_polys: int = 1) -> np.ndarray:
         return self.dma_read_spm(spm_row, n_polys * self.poly_rows).reshape(-1)
+
+    # ------------------------------------------------------ status / state
+    def status(self) -> dict:
+        """Host-visible status, the glb_done register's information content
+        (reference: axil_parse.sv:71-72,175 packs {poly_id, vp_done,
+        wr_done, rd_done}; launches here are synchronous, so done bits are
+        always set between calls)."""
+        return {
+            "version": VERSION,
+            "vp_done": True,
+            "rd_done": True,
+            "wr_done": True,
+            "spm_rows": int(self.spm.shape[0]),
+            "ksk_rows": int(self.ksk_mem.shape[0]),
+        }
+
+    def save_state(self, path) -> None:
+        """Checkpoint the device memories (the reference's host-managed
+        snapshot flow: any SPM region DMA'd to DDR and reloaded,
+        reference: sim/top/top_noaxilite_tb.sv:498-520)."""
+        np.savez_compressed(
+            path,
+            spm=self.be.unwrap(self.spm),
+            ksk_mem=self.be.unwrap(self.ksk_mem),
+            version=np.uint64(VERSION),
+        )
+
+    def load_state(self, path) -> None:
+        with np.load(path) as d:
+            if int(d["version"]) != VERSION:
+                raise ValueError(
+                    f"checkpoint version 0x{int(d['version']):x} != "
+                    f"device 0x{VERSION:x}"
+                )
+            self.spm = self.be.wrap(d["spm"])
+            self.ksk_mem = self.be.wrap(d["ksk_mem"])

@@ -55,14 +55,22 @@ def main():
         print(f"# pallas kernel unavailable ({type(e).__name__}); xla path",
               file=sys.stderr)
 
-    fn(x).block_until_ready()  # compile
-    # timed runs
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    ntts_per_sec = batch / dt
+    # Timing protocol: chain iterations (each input = previous output) and
+    # end with a scalar host readback.  On hosted/tunneled TPU backends
+    # block_until_ready() can return before device completion and report
+    # physically impossible rates; data-dependence + readback is honest.
+    out = fn(x)
+    _ = np.asarray(out[0, 0])  # warm: compile fn and the readback slice
+    best = 0.0
+    for _trial in range(3):
+        out = x
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(out)
+        _ = np.asarray(out[0, 0])
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, batch / dt)
+    ntts_per_sec = best
 
     print(
         json.dumps(
