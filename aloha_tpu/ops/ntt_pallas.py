@@ -201,13 +201,20 @@ def _ntt_kernel_body(
     ahi = xhi_ref[...].reshape(R, LANES)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
 
+    def _tile(wrow):
+        if bp == 1:
+            return wrow
+        return jnp.broadcast_to(wrow[None], (bp, rows, LANES)).reshape(
+            R, LANES
+        )
+
     # row stages: t = n/2 .. 128  (s = 0 .. log_rows-1)
     for s in range(log_rows):
         tr = rows >> (s + 1)
         ulo, vlo = _row_split(alo, tr)
         uhi, vhi = _row_split(ahi, tr)
         w = [
-            _row_split(ref[s], tr)[0]
+            _row_split(_tile(ref[s]), tr)[0]
             for ref in (wlo_ref, whi_ref, slo_ref, shi_ref)
         ]
         (tlo, thi), (blo, bhi) = _ct_butterfly(
@@ -227,8 +234,8 @@ def _ntt_kernel_body(
         vlo = jnp.where(bit, alo, plo)
         vhi = jnp.where(bit, ahi, phi)
         (tlo, thi), (blo, bhi) = _ct_butterfly(
-            ulo, uhi, vlo, vhi, wlo_ref[s], whi_ref[s], slo_ref[s],
-            shi_ref[s], q,
+            ulo, uhi, vlo, vhi, _tile(wlo_ref[s]), _tile(whi_ref[s]),
+            _tile(slo_ref[s]), _tile(shi_ref[s]), q,
         )
         alo = jnp.where(bit, blo, tlo)
         ahi = jnp.where(bit, bhi, thi)
@@ -252,6 +259,13 @@ def _intt_kernel_body(
     ahi = xhi_ref[...].reshape(R, LANES)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
 
+    def _tile(wrow):
+        if bp == 1:
+            return wrow
+        return jnp.broadcast_to(wrow[None], (bp, rows, LANES)).reshape(
+            R, LANES
+        )
+
     # lane stages: t = 1 .. 64
     for s in range(log_lanes):
         t = 1 << s
@@ -263,8 +277,8 @@ def _intt_kernel_body(
         vlo = jnp.where(bit, alo, plo)
         vhi = jnp.where(bit, ahi, phi)
         (s0lo, s0hi), (s1lo, s1hi) = _gs_butterfly(
-            ulo, uhi, vlo, vhi, wlo_ref[s], whi_ref[s], slo_ref[s],
-            shi_ref[s], q,
+            ulo, uhi, vlo, vhi, _tile(wlo_ref[s]), _tile(whi_ref[s]),
+            _tile(slo_ref[s]), _tile(shi_ref[s]), q,
         )
         alo = jnp.where(bit, s1lo, s0lo)
         ahi = jnp.where(bit, s1hi, s0hi)
@@ -275,7 +289,7 @@ def _intt_kernel_body(
         ulo, vlo = _row_split(alo, tr)
         uhi, vhi = _row_split(ahi, tr)
         w = [
-            _row_split(ref[s], tr)[0]
+            _row_split(_tile(ref[s]), tr)[0]
             for ref in (wlo_ref, whi_ref, slo_ref, shi_ref)
         ]
         (s0lo, s0hi), (s1lo, s1hi) = _gs_butterfly(
@@ -308,11 +322,8 @@ def _call(kernel_body, a, q, root, inverse, interpret):
     bp_req = int(os.environ.get("ALOHA_NTT_BP", "1"))
     bp = bp_req if (bp_req > 0 and nb % bp_req == 0) else 1
 
-    # tables pre-tiled to the poly block (bp copies along sublanes) so the
-    # kernel needs no in-kernel broadcasts
     w_lo, w_hi, s_lo, s_hi = (
-        jnp.asarray(np.tile(t, (1, bp, 1)))
-        for t in _tables_np(n, root, q, inverse)
+        jnp.asarray(t) for t in _tables_np(n, root, q, inverse)
     )
 
     a3 = a.reshape(nb, rows, LANES)
@@ -323,14 +334,18 @@ def _call(kernel_body, a, q, root, inverse, interpret):
         kernel_body, q=q, rows=rows, bp=bp, interpret=interpret
     )
     grid = (nb // bp,)
-    # index maps must stay int32 under Mosaic; with the global x64 flag on,
-    # literal 0s would trace as i64, so derive them from the program id.
+    # Index maps must stay int32 under Mosaic (python-int zeros trace as
+    # i64 when x64 is on) AND must be *literal* constants for the table
+    # blocks, so Pallas recognizes the block as revisited and skips the
+    # HBM->VMEM re-fetch each grid step (6.8 MiB of twiddles otherwise
+    # dominates the kernel).  np.int32 zeros satisfy both.
+    z = np.int32(0)
     tbl_spec = pl.BlockSpec(
-        (logn, bp * rows, LANES), lambda i: (i * 0, i * 0, i * 0),
+        (logn, rows, LANES), lambda i: (z, z, z),
         memory_space=pltpu.VMEM,
     )
     dat_spec = pl.BlockSpec(
-        (bp, rows, LANES), lambda i: (i, i * 0, i * 0),
+        (bp, rows, LANES), lambda i: (i, z, z),
         memory_space=pltpu.VMEM,
     )
     # pallas index maps must trace in 32-bit (Mosaic rejects i64 grid

@@ -1,0 +1,158 @@
+"""Limb/digit-sharded rotation with psum accumulation (shard_map).
+
+The hybrid key-switch sums per-digit contributions under every modulus:
+    c_m = sum_j NTT_m(digit_j) * ksk[m, j]
+With ciphertext limbs sharded over a mesh axis ("digit": shard j owns limb
+j's polynomials and its key slice), each shard computes its digit's
+contribution to all moduli locally and ONE `psum` over the digit axis
+accumulates the inner products — the TPU-native form of the reference's
+per-limb accumulation loop (keyswitch.mem lines 43-78), with the
+reduction riding ICI instead of a register accumulator.
+
+After the psum every shard holds the full inner products (replicated);
+shard j then finishes the mod-down and the aut(a)+ks_a combination for its
+own limb, so outputs stay sharded exactly like inputs.
+
+Batch axes compose: arrays are (..., L, N) sharded (dp, "digit", None).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aloha_tpu import ntt_jax as nt
+from aloha_tpu import rns_xla as r
+from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
+
+
+def _local_rotate_shard(a_l, b_l, ksk_l, step_exp, cfg: HEConfig, axis: str):
+    """Per-shard body: this shard owns limb j = axis index.
+
+    a_l, b_l: (..., 1, N); ksk_l: (L+1, 2, 1, N) — this digit's key columns
+    under every modulus m, parts (a, b).
+    """
+    L = cfg.n_limbs
+    moduli = cfg.moduli
+    sp = cfg.special_prime
+    half = (sp - 1) // 2
+    j = jax.lax.axis_index(axis)
+
+    a_own = a_l[..., 0, :]
+    b_own = b_l[..., 0, :]
+
+    # digit: aut(INTT_qj(b_j)) — the per-limb branch is a static unroll over
+    # the small limb count, selected by the shard index; lax.switch traces
+    # every branch but executes only this shard's.
+    def per_limb(fn):
+        return jax.lax.switch(
+            j, [functools.partial(fn, m) for m in range(L)]
+        )
+
+    d = per_limb(
+        lambda m: nt.automorphism(
+            nt.intt(b_own, moduli[m], cfg.ipsi[m]), step_exp, moduli[m]
+        )
+    )
+
+    # raise this digit to every modulus, NTT, multiply with the key columns
+    contrib = []
+    for m in range(L + 1):
+        x = per_limb(
+            lambda src: d
+            if src == m
+            else (
+                r.lazy_reduce(d, moduli[m])
+                if moduli[m] > moduli[src]
+                else r.modred(d, moduli[m])
+            )
+        )
+        ndm = nt.ntt(x, moduli[m], cfg.psi[m])
+        pair = [
+            r.mulmod(ndm, ksk_l[m, part, 0], moduli[m]) for part in (0, 1)
+        ]
+        contrib.append(pair)
+
+    # ONE psum over the digit axis accumulates the inner products; values
+    # must be in a common ring first — they are (each entry is mod its own
+    # modulus, summed lazily then reduced).
+    flat = jnp.stack([contrib[m][p] for m in range(L + 1) for p in (0, 1)])
+    summed = jax.lax.psum(flat, axis)  # raw sum < L*q_m < 2^62, no overflow
+    c = {}
+    for k, (m, p) in enumerate([(m, p) for m in range(L + 1) for p in (0, 1)]):
+        c[(m, p)] = r.lazy_reduce(summed[k], moduli[m])
+
+    # mod-down by P (replicated work, negligible) then finish own limb
+    m_coeff = [
+        r.addmod(nt.intt(c[(L, p)], sp, cfg.ipsi[-1]), r.u64(half), sp)
+        for p in (0, 1)
+    ]
+
+    def finish(m):
+        q = moduli[m]
+        pinv = cfg.pinv_mod(m)
+        outs = []
+        for p in (0, 1):
+            corr = nt.ntt(r.submod(m_coeff[p], r.u64(half), q), q, cfg.psi[m])
+            t = r.submod(c[(m, p)], corr, q)
+            outs.append(r.mulmod(t, jnp.broadcast_to(r.u64(pinv), t.shape), q))
+        a_rot = r.addmod(
+            nt.ntt(
+                nt.automorphism(
+                    nt.intt(a_own, q, cfg.ipsi[m]), step_exp, q
+                ),
+                q,
+                cfg.psi[m],
+            ),
+            outs[0],
+            q,
+        )
+        return a_rot, outs[1]
+
+    a_out, b_out = per_limb(finish)
+    return a_out[..., None, :], b_out[..., None, :]
+
+
+def rotate_sharded(
+    ct,
+    step: int,
+    ksk,
+    mesh: Mesh,
+    cfg: HEConfig = DEFAULT_CONFIG,
+    digit_axis: str = "digit",
+    dp_axis=None,
+):
+    """Rotation with limbs sharded over `digit_axis` (size must equal
+    n_limbs) and optional batch sharding over `dp_axis`.
+
+    ct: (a, b) uint64 (..., L, N); ksk: (12, N) reference layout.
+    """
+    a, b = ct
+    n = a.shape[-1]
+    L = cfg.n_limbs
+    if mesh.shape[digit_axis] != L:
+        raise ValueError(
+            f"digit axis size {mesh.shape[digit_axis]} != n_limbs {L}"
+        )
+    step_exp = pow(3, step, 2 * n)
+    # regroup the KSK: (12, N) -> (L+1 moduli, 2 parts, L digits, N)
+    ksk4 = ksk.reshape(L + 1, L, 2, n).transpose(0, 2, 1, 3)
+
+    batch_spec = [dp_axis] + [None] * (a.ndim - 3) if dp_axis else [None] * (
+        a.ndim - 2
+    )
+    ct_spec = P(*batch_spec, digit_axis, None)
+    ksk_spec = P(None, None, digit_axis, None)
+
+    f = jax.shard_map(
+        functools.partial(
+            _local_rotate_shard, step_exp=step_exp, cfg=cfg, axis=digit_axis
+        ),
+        mesh=mesh,
+        in_specs=(ct_spec, ct_spec, ksk_spec),
+        out_specs=(ct_spec, ct_spec),
+    )
+    return f(a, b, ksk4)
