@@ -188,17 +188,16 @@ def _row_join(top, bot):
     return jnp.stack([top, bot], axis=1).reshape(m * 2 * tr, lanes)
 
 
-def _ntt_kernel_body(
-    wlo_ref, whi_ref, slo_ref, shi_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref,
+def _ntt_stages(
+    alo, ahi, wlo_ref, whi_ref, slo_ref, shi_ref,
     *, q: int, rows: int, bp: int, interpret: bool,
 ):
+    """All 13 forward stages on (bp*rows, LANES) planes; returns planes in
+    [0, q) canonical form."""
     logn = (rows * LANES).bit_length() - 1
     log_rows = rows.bit_length() - 1
     roll = _make_roll(interpret)
     R = bp * rows
-    # flatten the poly block along sublanes: (bp, rows, LANES) -> (R, LANES)
-    alo = xlo_ref[...].reshape(R, LANES)
-    ahi = xhi_ref[...].reshape(R, LANES)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
 
     def _tile(wrow):
@@ -243,20 +242,32 @@ def _ntt_kernel_body(
     # canonicalize [0,4q) -> [0,q)
     alo, ahi = _condsub(alo, ahi, 2 * q)
     alo, ahi = _condsub(alo, ahi, q)
+    return alo, ahi
+
+
+def _ntt_kernel_body(
+    wlo_ref, whi_ref, slo_ref, shi_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref,
+    *, q: int, rows: int, bp: int, interpret: bool,
+):
+    R = bp * rows
+    alo, ahi = _ntt_stages(
+        xlo_ref[...].reshape(R, LANES), xhi_ref[...].reshape(R, LANES),
+        wlo_ref, whi_ref, slo_ref, shi_ref,
+        q=q, rows=rows, bp=bp, interpret=interpret,
+    )
     olo_ref[...] = alo.reshape(bp, rows, LANES)
     ohi_ref[...] = ahi.reshape(bp, rows, LANES)
 
 
-def _intt_kernel_body(
-    wlo_ref, whi_ref, slo_ref, shi_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref,
+def _intt_stages(
+    alo, ahi, wlo_ref, whi_ref, slo_ref, shi_ref,
     *, q: int, rows: int, bp: int, interpret: bool,
 ):
+    """All 13 inverse stages on (bp*rows, LANES) planes, canonical output."""
     logn = (rows * LANES).bit_length() - 1
     log_lanes = LANES.bit_length() - 1
     roll = _make_roll(interpret)
     R = bp * rows
-    alo = xlo_ref[...].reshape(R, LANES)
-    ahi = xhi_ref[...].reshape(R, LANES)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
 
     def _tile(wrow):
@@ -299,6 +310,19 @@ def _intt_kernel_body(
         ahi = _row_join(s0hi, s1hi)
 
     alo, ahi = _condsub(alo, ahi, q)
+    return alo, ahi
+
+
+def _intt_kernel_body(
+    wlo_ref, whi_ref, slo_ref, shi_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref,
+    *, q: int, rows: int, bp: int, interpret: bool,
+):
+    R = bp * rows
+    alo, ahi = _intt_stages(
+        xlo_ref[...].reshape(R, LANES), xhi_ref[...].reshape(R, LANES),
+        wlo_ref, whi_ref, slo_ref, shi_ref,
+        q=q, rows=rows, bp=bp, interpret=interpret,
+    )
     olo_ref[...] = alo.reshape(bp, rows, LANES)
     ohi_ref[...] = ahi.reshape(bp, rows, LANES)
 
