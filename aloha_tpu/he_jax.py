@@ -106,25 +106,43 @@ def _rotate_exp(ct, step_exp, ksk, cfg: HEConfig):
     sp = cfg.special_prime
     half = (sp - 1) // 2
 
-    # 1. digits: d_j = aut(INTT(b_qj)), coefficient domain
-    digits = [
-        nt.automorphism(
-            nt.intt(b[..., j, :], moduli[j], cfg.ipsi[j]), step_exp, moduli[j]
+    # 1. digits: d_j = aut(INTT(b_qj)), coefficient domain; also the
+    #    aut(a) coefficient polys (computed here so step 5's NTTs can
+    #    batch with this stage's per-modulus calls)
+    digits, a_aut = [], []
+    for m in range(L):
+        pair = nt.intt(
+            jnp.stack([b[..., m, :], a[..., m, :]], axis=-2),
+            moduli[m],
+            cfg.ipsi[m],
         )
-        for j in range(L)
-    ]
+        digits.append(
+            nt.automorphism(pair[..., 0, :], step_exp, moduli[m])
+        )
+        a_aut.append(
+            nt.automorphism(pair[..., 1, :], step_exp, moduli[m])
+        )
 
-    # 2. raise to every modulus, NTT
+    # 2. raise digits to every modulus; batch each modulus' NTTs into one
+    #    call (the Pallas kernel amortizes per-launch cost over the batch)
     nd = [[None] * (L + 1) for _ in range(L)]
-    for j, d in enumerate(digits):
-        for m in range(L + 1):
+    for m in range(L + 1):
+        polys = []
+        for j, d in enumerate(digits):
             if m == j:
                 x = d
             elif moduli[m] > moduli[j]:
                 x = r.lazy_reduce(d, moduli[m])  # vcpy semantics
             else:
                 x = r.modred(d, moduli[m])  # vfqmod semantics
-            nd[j][m] = nt.ntt(x, moduli[m], cfg.psi[m])
+            polys.append(x)
+        if m < L:
+            polys.append(a_aut[m])
+        stacked = nt.ntt(jnp.stack(polys, axis=-2), moduli[m], cfg.psi[m])
+        for j in range(L):
+            nd[j][m] = stacked[..., j, :]
+        if m < L:
+            a_aut[m] = stacked[..., L, :]  # now NTT domain
 
     # 3. KSK inner products per modulus
     def inner(m, part):
@@ -139,40 +157,32 @@ def _rotate_exp(ct, step_exp, ksk, cfg: HEConfig):
     c = [[inner(m, part) for part in (0, 1)] for m in range(L + 1)]
 
     # 4. mod-down by P with (P-1)/2 rounding, scale by P^-1 mod q
+    p_pair = nt.intt(
+        jnp.stack([c[L][0], c[L][1]], axis=-2), sp, cfg.ipsi[-1]
+    )
     m_coeff = [
-        r.addmod(nt.intt(c[L][part], sp, cfg.ipsi[-1]), r.u64(half), sp)
-        for part in (0, 1)
+        r.addmod(p_pair[..., part, :], r.u64(half), sp) for part in (0, 1)
     ]
     ks = [[None, None] for _ in range(L)]
     for m in range(L):
         q = moduli[m]
         pinv = cfg.pinv_mod(m)
+        corr2 = nt.ntt(
+            jnp.stack(
+                [r.submod(m_coeff[p], r.u64(half), q) for p in (0, 1)],
+                axis=-2,
+            ),
+            q,
+            cfg.psi[m],
+        )
         for part in (0, 1):
-            corr = nt.ntt(
-                r.submod(m_coeff[part], r.u64(half), q), q, cfg.psi[m]
-            )
-            t = r.submod(c[m][part], corr, q)
+            t = r.submod(c[m][part], corr2[..., part, :], q)
             ks[m][part] = r.mulmod(t, jnp.broadcast_to(r.u64(pinv), t.shape), q)
 
-    # 5. rotated message part: aut(a) + key-switch a-part
+    # 5. rotated message part: aut(a) (NTT'd in step 2's batched calls)
+    #    + key-switch a-part
     a_rot = jnp.stack(
-        [
-            r.addmod(
-                nt.ntt(
-                    nt.automorphism(
-                        nt.intt(a[..., m, :], moduli[m], cfg.ipsi[m]),
-                        step_exp,
-                        moduli[m],
-                    ),
-                    moduli[m],
-                    cfg.psi[m],
-                ),
-                ks[m][0],
-                moduli[m],
-            )
-            for m in range(L)
-        ],
-        axis=-2,
+        [r.addmod(a_aut[m], ks[m][0], moduli[m]) for m in range(L)], axis=-2
     )
     b_rot = jnp.stack([ks[m][1] for m in range(L)], axis=-2)
     return (a_rot, b_rot)
