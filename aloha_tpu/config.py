@@ -77,8 +77,17 @@ def barrett_iq(q: int, w: int = MOD_WIDTH) -> int:
         mid   = (a*b >> (w-2)) * iq
         estim = (mid >> (w+3)) * q
     (reference: src/vp/vxu/modmul.sv:145-187), i.e. iq ~ 2^(2w+1)/q.
+
+    The reciprocal must fit the 64-bit datapath: floor(2^(2w+1)/q) < 2^64
+    requires q > 2^(2w+1-64) (q > 2^57 for w=60).
     """
-    return (1 << (2 * w + 1)) // q
+    iq = (1 << (2 * w + 1)) // q
+    if iq >= 1 << 64:
+        raise ValueError(
+            f"modulus {q:#x} too small for the {w}-bit Barrett datapath "
+            f"(reciprocal needs {iq.bit_length()} bits; require q > 2^{2*w+1-64})"
+        )
+    return iq
 
 
 def shoup(w: int, q: int) -> int:

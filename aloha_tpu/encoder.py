@@ -73,7 +73,8 @@ def cleartext_from_slots(z: np.ndarray) -> np.ndarray:
 def encode(
     cleartext: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG
 ) -> np.ndarray:
-    """Cleartext image (2N floats, interleaved) -> (n_limbs, N) uint64.
+    """Cleartext image (N floats = n/2 interleaved re/im slot pairs)
+    -> (n_limbs, N) uint64.
 
     Coefficient-domain RNS plaintext (run `encode_post` / he.encode_post to
     move it to the NTT domain).

@@ -144,13 +144,15 @@ def _rotate_exp(ct, step_exp, ksk, cfg: HEConfig):
         if m < L:
             a_aut[m] = stacked[..., L, :]  # now NTT domain
 
-    # 3. KSK inner products per modulus
+    # 3. KSK inner products per modulus (stride 2L polys per modulus)
+    stride = 2 * L
+
     def inner(m, part):
         q = moduli[m]
-        acc = r.mulmod(nd[0][m], ksk[4 * m + part], q)
+        acc = r.mulmod(nd[0][m], ksk[stride * m + part], q)
         for j in range(1, L):
             acc = r.addmod(
-                acc, r.mulmod(nd[j][m], ksk[4 * m + 2 * j + part], q), q
+                acc, r.mulmod(nd[j][m], ksk[stride * m + 2 * j + part], q), q
             )
         return acc
 

@@ -120,7 +120,8 @@ def hybrid_keyswitch(
     moduli = cfg.moduli
     n_limbs = cfg.n_limbs
     sp = cfg.special_prime
-    ksk = rns.to_u64(ksk).reshape(4 * (n_limbs + 1), n)
+    stride = 2 * n_limbs  # polys per modulus: L digits x (a, b)
+    ksk = rns.to_u64(ksk).reshape(stride * (n_limbs + 1), n)
 
     # raise digits to every modulus and transform
     nd = [[None] * (n_limbs + 1) for _ in range(n_limbs)]
@@ -136,10 +137,12 @@ def hybrid_keyswitch(
 
     def inner(m, part):
         q = moduli[m]
-        acc = rns.mulmod(nd[0][m], ksk[4 * m + part], q)
+        acc = rns.mulmod(nd[0][m], ksk[stride * m + part], q)
         for j in range(1, n_limbs):
             acc = rns.addmod(
-                acc, rns.mulmod(nd[j][m], ksk[4 * m + 2 * j + part], q), q
+                acc,
+                rns.mulmod(nd[j][m], ksk[stride * m + 2 * j + part], q),
+                q,
             )
         return acc
 

@@ -90,11 +90,15 @@ class NumpyBackend:
         return ntt_np.rotate_lanes(a, step)
 
     # memory
+    def begin_launch(self, mem):
+        """Snapshot device memory once per launch; write_rows then updates
+        in place (the JAX backend instead uses functional .at updates)."""
+        return mem.copy()
+
     def read_rows(self, mem, row, nrows):
         return mem[row : row + nrows].reshape(-1)
 
     def write_rows(self, mem, row, value):
-        mem = mem.copy()
         mem[row : row + value.size // NUM_LANES] = value.reshape(
             -1, NUM_LANES
         )
@@ -150,6 +154,7 @@ class VectorProcessor:
         """
         cfg, be = self.cfg, self.be
         args = args or LaunchArgs()
+        spm = be.begin_launch(spm)
         vregs: Dict[int, object] = {}
         vl_bits = cfg.n * 64
         q = cfg.moduli[0]

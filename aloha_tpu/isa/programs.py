@@ -222,6 +222,12 @@ def keyswitch(cfg: HEConfig) -> List[Instr]:
     P = _poly_bytes(cfg)
     L = cfg.n_limbs
     nmod = L + 1
+    if L > 2:
+        raise NotImplementedError(
+            f"the ISA keyswitch kernel supports up to 2 ciphertext limbs "
+            f"(register budget: {L}*(L+2)+2*{L}+3 long-lived values exceed "
+            "the 16 even vregs); use he_np/he_jax for larger configs"
+        )
     a.vsetvl(cfg.n * 64)
 
     # --- register allocation (evens for long-lived values, odds for temps)

@@ -80,6 +80,9 @@ class JaxBackend:
         return ntt_jax.rotate_lanes(a, int(step))
 
     # memory: SPM/KSK arrays are (rows, 128) uint64
+    def begin_launch(self, mem):
+        return mem  # functional updates below; no snapshot needed
+
     def read_rows(self, mem, row, nrows):
         return mem[row : row + nrows].reshape(-1)
 
@@ -94,9 +97,9 @@ _PROGRAM_REGISTRY = {}
 
 @functools.lru_cache(maxsize=None)
 def _cached_executable(
-    cfg: HEConfig, program_key, pc, src0, src1, rslt, step, ksk_ptr
+    cfg: HEConfig, program_digest, pc, src0, src1, rslt, step, ksk_ptr
 ):
-    program = _PROGRAM_REGISTRY[program_key]
+    program = _PROGRAM_REGISTRY[program_digest]
     vp = VectorProcessor(cfg, JaxBackend())
     args = LaunchArgs(
         pc=pc, src0=src0, src1=src1, rslt=rslt, step=step, ksk_ptr=ksk_ptr
@@ -112,12 +115,15 @@ def _cached_executable(
 def make_executable(cfg: HEConfig, program, args: LaunchArgs, program_key=None):
     """Compile one (program, launch CSRs) pair into a jitted executable.
 
-    `program_key` names the program for caching (e.g. its ISRAM offset);
-    anonymous programs get identity-based keys.
+    Cached by the program's *contents* (instruction encodings), so reusing
+    a name for a different program can never return a stale executable.
+    `program_key` is accepted for API compatibility but only the digest
+    matters.
     """
-    key = program_key if program_key is not None else id(program)
-    _PROGRAM_REGISTRY[key] = program
+    del program_key  # caching is content-addressed
+    digest = tuple(i.encode() for i in program)
+    _PROGRAM_REGISTRY[digest] = program
     return _cached_executable(
-        cfg, key, args.pc, args.src0, args.src1, args.rslt, args.step,
+        cfg, digest, args.pc, args.src0, args.src1, args.rslt, args.step,
         args.ksk_ptr,
     )

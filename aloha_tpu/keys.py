@@ -61,10 +61,9 @@ def _noise(cfg: HEConfig, rng, sigma: float = 3.2) -> np.ndarray:
     return np.rint(rng.normal(0.0, sigma, size=cfg.n)).astype(np.int64)
 
 
-def _uniform_ntt(cfg: HEConfig, rng, n_limbs: int) -> np.ndarray:
-    """Uniform element of R_Q (Q = product of first n_limbs+P? no — caller
-    picks which moduli): one uniform *integer* polynomial mod prod(moduli),
-    returned as per-modulus NTT-domain residues.
+def _uniform_ntt(cfg: HEConfig, rng) -> np.ndarray:
+    """One uniform *integer* polynomial mod prod(all moduli), returned as
+    per-modulus NTT-domain residues.
 
     Sampling residues per modulus independently would not correspond to a
     single ring element; instead sample big integers and reduce.
@@ -108,11 +107,12 @@ def gen_ksk(
     cfg: HEConfig = DEFAULT_CONFIG,
     rng=None,
 ) -> np.ndarray:
-    """Key-switch key s_src -> s_tgt in the accelerator's 12-poly layout.
+    """Key-switch key s_src -> s_tgt in the accelerator's memory layout.
 
-    Returns (4*(n_limbs+1), N) uint64 = [m0d0a, m0d0b, m0d1a, m0d1b, ...],
-    NTT domain — byte-compatible with the reference's ksk_step*.txt images
-    and the KSK memory DMA format.
+    Returns (2*n_limbs*(n_limbs+1), N) uint64 ordered
+    [m0d0a, m0d0b, m0d1a, m0d1b, ..., m1d0a, ...] (per modulus: the L
+    digits' (a, b) pairs) — for the default 2-limb config this is the
+    reference's 12-poly ksk_step*.txt image / KSK DMA format.
     """
     rng = rng or np.random.default_rng()
     L = cfg.n_limbs
@@ -126,17 +126,16 @@ def gen_ksk(
             for m, q in enumerate(cfg.moduli)
         ]
     )
-    out = np.zeros((4 * nmod, cfg.n), dtype=np.uint64)
+    stride = 2 * L  # polys per modulus: L digits x (a, b)
+    out = np.zeros((stride * nmod, cfg.n), dtype=np.uint64)
     for j in range(L):
-        kb = _uniform_ntt(cfg, rng, L)
+        kb = _uniform_ntt(cfg, rng)
         err = _noise(cfg, rng)
         err_res = _to_residues(err, cfg)
         for m, q in enumerate(cfg.moduli):
-            # P*e_j mod q: zero under P and under other limbs; P mod q_j
-            # under the digit's own modulus.
-            pe = (sp % q) * (idem[j] % q) % q if m < L else 0
-            if m < L and m != j:
-                pe = (sp % q) * (idem[j] % q) % q  # == 0 since e_j == 0
+            # P*e_j mod q_m: e_j == 1 mod q_j, == 0 mod other limbs, and
+            # P == 0 mod P — so only the digit's own modulus is nonzero.
+            pe = sp % q if m == j else 0
             target = rns_np.mulmod(
                 src_ntt[m], np.uint64(pe), q
             )  # P*e_j*s_src (NTT domain)
@@ -145,8 +144,8 @@ def gen_ksk(
             ka = rns_np.submod(
                 target, rns_np.mulmod(kb[m], s_tgt.ntt[m], q), q
             )
-            out[4 * m + 2 * j + 0] = ka
-            out[4 * m + 2 * j + 1] = kb[m]
+            out[stride * m + 2 * j + 0] = ka
+            out[stride * m + 2 * j + 1] = kb[m]
     return out
 
 

@@ -138,7 +138,7 @@ def rotate_sharded(
             f"digit axis size {mesh.shape[digit_axis]} != n_limbs {L}"
         )
     step_exp = pow(3, step, 2 * n)
-    # regroup the KSK: (12, N) -> (L+1 moduli, 2 parts, L digits, N)
+    # regroup the KSK: (2L(L+1), N) -> (L+1 moduli, 2 parts, L digits, N)
     ksk4 = ksk.reshape(L + 1, L, 2, n).transpose(0, 2, 1, 3)
 
     batch_spec = [dp_axis] + [None] * (a.ndim - 3) if dp_axis else [None] * (

@@ -36,8 +36,14 @@ def initialize(
     """
     import jax
 
-    num = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if num <= 1:
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if (num_processes or 1) <= 1:
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

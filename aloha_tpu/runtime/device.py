@@ -113,6 +113,12 @@ class AlohaDevice:
         CSR step = 3^step mod 2N; KSK slot = (clog2(step)-1) * 12 polys
         (reference: sim/top/top_noaxilite_tb.sv:530-532).
         """
+        if step < 2 or step & (step - 1):
+            raise ValueError(
+                f"rotation step {step} must be a power of two >= 2 "
+                "(the KSK memory holds one key per power-of-two step, "
+                "reference: sim/top/top_noaxilite_tb.sv:530-532)"
+            )
         n = self.cfg.n
         csr_step = pow(3, step, 2 * n)
         slot = math.ceil(math.log2(step)) - 1
