@@ -13,6 +13,7 @@ Set ALOHA_BENCH_SMOKE=1 for a fast smoke run (small batch/iters).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -20,6 +21,34 @@ import numpy as np
 
 
 def main():
+    # The hosted remote kernel-compile service has minutes-scale variance
+    # and occasional wedges; attempt the Pallas path in a child process
+    # under a hard timeout, falling back to the XLA path so this script
+    # ALWAYS prints its metric line.
+    if "--child" not in sys.argv and not os.environ.get("ALOHA_BENCH_NO_FORK"):
+        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "480"))
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True,
+                text=True,
+                timeout=budget,
+                env={**os.environ, "ALOHA_BENCH_NO_FORK": "1"},
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+        except subprocess.TimeoutExpired:
+            print(
+                "# pallas bench child timed out; falling back to xla path",
+                file=sys.stderr,
+            )
+        os.environ["ALOHA_BENCH_XLA_ONLY"] = "1"
+    return _bench()
+
+
+def _bench():
     import jax
 
     # persistent compilation cache: repeated bench runs skip the ~1-2 min
@@ -47,6 +76,8 @@ def main():
     try:
         from aloha_tpu.ops import ntt_pallas
 
+        if os.environ.get("ALOHA_BENCH_XLA_ONLY"):
+            raise RuntimeError("xla-only fallback requested")
         if ntt_pallas.available():
             pfn = jax.jit(lambda v: ntt_pallas.ntt(v, q, psi))
             pfn(x).block_until_ready()
