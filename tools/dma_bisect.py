@@ -40,3 +40,8 @@ with jax.enable_x64(False):
     out = np.asarray(f(x))
     ok = (out == (np.asarray(x)*3+1 if mode=="compute" else np.asarray(x))).all()
     print(f"{mode}: compiled+ran in {time.perf_counter()-t0:.0f}s, correct={ok}", flush=True)
+
+# Appended bisect stages (run: python tools/dma_bisect.py <mode>)
+# mode "doublebuf": 2-slot double buffering + (2,2) semaphore arrays +
+# traced-slot scratch indexing + ref[traced] stores — the exact control
+# structure of ops/ntt_stream.py with trivial compute.

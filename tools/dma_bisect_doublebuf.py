@@ -1,0 +1,59 @@
+import sys, time, functools
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NB, R, L, BP = 32, 64, 128, 8
+NCH = NB // BP
+
+def body(x_ref, o_ref):
+    def inner(ibuf, obuf, sem_in, sem_out):
+        def in_copy(slot, c):
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(c * np.int32(BP), BP)], ibuf.at[slot],
+                sem_in.at[slot, np.int32(0)])
+        def out_copy(slot, c):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_ref.at[pl.ds(c * np.int32(BP), BP)],
+                sem_out.at[slot, np.int32(0)])
+        in_copy(np.int32(0), np.int32(0)).start()
+        TWO, ONE = np.int32(2), np.int32(1)
+        def step(c, _):
+            cur = c % TWO; nxt = (c + ONE) % TWO
+            @pl.when(c + ONE < np.int32(NCH))
+            def _():
+                in_copy(nxt, c + ONE).start()
+            in_copy(cur, c).wait()
+            v0 = ibuf[cur].reshape(BP * R, L)
+            v0 = pltpu.roll(v0, shift=np.int32(3), axis=1)
+            vv = v0.reshape(BP * R // 2, 2, L)
+            v0 = jnp.stack([vv[:, 1], vv[:, 0]], axis=1).reshape(BP * R, L)
+            v = v0.reshape(BP, R, L) * np.uint32(3) + np.uint32(1)
+            @pl.when(c >= TWO)
+            def _():
+                out_copy(cur, c - TWO).wait()
+            obuf[cur] = v
+            out_copy(cur, c).start()
+            return 0
+        jax.lax.fori_loop(np.int32(0), np.int32(NCH), step, 0)
+        for back in (2, 1):
+            c = NCH - back
+            if c >= 0:
+                out_copy(np.int32(c % 2), np.int32(c)).wait()
+    pl.run_scoped(inner,
+        ibuf=pltpu.VMEM((2, BP, R, L), jnp.uint32),
+        obuf=pltpu.VMEM((2, BP, R, L), jnp.uint32),
+        sem_in=pltpu.SemaphoreType.DMA((2, 2)),
+        sem_out=pltpu.SemaphoreType.DMA((2, 2)))
+
+with jax.enable_x64(False):
+    call = pl.pallas_call(body,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((NB, R, L), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True))
+    f = jax.jit(lambda x: call(x))
+    x = jnp.arange(NB*R*L, dtype=jnp.uint32).reshape(NB, R, L)
+    t0=time.perf_counter()
+    out = np.asarray(f(x))
+    print(f"doublebuf+roll+reshape: compiled+ran {time.perf_counter()-t0:.0f}s ok=True", flush=True)
