@@ -1,31 +1,42 @@
 """Single-launch streaming NTT: HBM-resident batch, manual DMA pipeline.
 
-STATUS: EXPERIMENTAL — traces and lowers correctly, but the hosted
-remote-compile service (tpu_compile_helper) crashes on the manual-DMA
-body without diagnostics; not yet wired into the dispatcher.  Tracked in
-docs/DESIGN.md (performance roadmap item 1).
-
-The grid-per-poly kernel in `ntt_pallas` pays ~10us of block-copy/step
-machinery per polynomial; this variant launches ONCE over the whole batch
-and double-buffers chunks through VMEM with explicit async copies — the
-TPU analogue of the reference's overlapped DMA/VP pipelining (independent
-FSMs with a poly_id handshake, reference: SURVEY.md 2g item 5):
+The TPU re-design of the reference's overlapped DMA/VP pipelining
+(independent FSMs + poly_id handshake; reference: SURVEY.md 2g item 5,
+src/mem_buf/axi_data_rd_top.sv) combined with its 832-beat NTT engine
+schedule (reference: src/vp/ntt/ntt_fsm.sv:49,68):
 
     start in-DMA(chunk 0)
     for c in chunks:
         start in-DMA(c+1)          # overlap next load with compute
         wait  in-DMA(c)
-        compute 13 stages on chunk c (VMEM)
-        wait  out-DMA(c-2)         # slot reuse guard
+        compute all 13 stages on chunk c (VMEM, two fori_loops)
+        wait  out-DMA(c-2)         # slot-reuse guard
         start out-DMA(c)
     drain
 
-Twiddle tables stay resident in VMEM for the entire launch.
+Compile-time design: the round-1 kernel unrolled all 13 butterfly stages
+and the Mosaic compile time grew superlinearly with the unrolled body
+(bisected in tools/dma_bisect_stages.py: 4 stages OK, 7 blow a 9-minute
+budget).  Here every stage runs under an in-kernel `fori_loop` with a
+*traced* stage index: butterfly distance, partner masks, twiddle-table
+rows and `pltpu.roll` shifts (lane axis AND sublane axis) are all dynamic,
+so the traced body is two small loop bodies regardless of n.  Verified on
+hardware by tools/probe_dynstage.py / probe_dynsub.py.
+
+Layout: a polynomial is a (rows=n/128, 128) u32-pair tile (lo, hi planes);
+`bp` polys stack along sublanes as (bp*rows, 128).  Butterfly partner of
+element i is i XOR t: t >= 128 -> sublane roll by t/128, t < 128 -> lane
+roll by t.  The XOR-select keeps every read inside its own polynomial, so
+stacked polys never mix even though rolls wrap across them.
+
+Twiddle tables stay resident in VMEM for the whole launch (the analogue
+of the per-lane tf_rom images, reference: sim/vp/tf_rom_generator/).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,45 +53,137 @@ try:
 except Exception:  # pragma: no cover
     _OK = False
 
-#: polys per VMEM chunk (2 slots x 2 planes x in/out = 16*bp KiB each)
-CHUNK = 8
+I32 = jnp.int32
+
+
+def available() -> bool:
+    return _OK and K.available()
+
+
+def _dyn_partner(a, bit, t, axis, size):
+    """Value at index (i XOR t) along `axis`; t is a traced non-negative
+    int32.  Select keeps reads inside each XOR block, so rolls wrapping
+    across stacked polys are masked out."""
+    fwd = pltpu.roll(a, t, axis)          # value from i - t
+    bwd = pltpu.roll(a, size - t, axis)   # value from i + t
+    return jnp.where(bit, fwd, bwd)
+
+
+def _stage_any(alo, ahi, s, t, ids, axis, size, tbl, tile, q, butterfly):
+    """One butterfly stage with traced distance t along `axis`."""
+    bit = (ids & t) != 0
+    plo = _dyn_partner(alo, bit, t, axis, size)
+    phi = _dyn_partner(ahi, bit, t, axis, size)
+    ulo = jnp.where(bit, plo, alo)
+    uhi = jnp.where(bit, phi, ahi)
+    vlo = jnp.where(bit, alo, plo)
+    vhi = jnp.where(bit, ahi, phi)
+    wl, wh, sl, sh = (tile(ref[s]) for ref in tbl)
+    (tlo, thi), (blo, bhi) = butterfly(
+        ulo, uhi, vlo, vhi, wl, wh, sl, sh, q
+    )
+    return jnp.where(bit, blo, tlo), jnp.where(bit, bhi, thi)
+
+
+def _make_stage_loops(tbl, q, rows, bp, logn):
+    """Row-axis and lane-axis stage loops over (bp*rows, LANES) planes."""
+    R = bp * rows
+    log_rows = rows.bit_length() - 1
+    lane_ids = jax.lax.broadcasted_iota(I32, (R, LANES), 1)
+    # row index *within a polynomial* (rolls stay poly-local via the mask)
+    row_ids = jax.lax.broadcasted_iota(I32, (R, LANES), 0) % np.int32(rows)
+
+    def tile(wrow):
+        if bp == 1:
+            return wrow
+        return jnp.broadcast_to(wrow[None], (bp, rows, LANES)).reshape(
+            R, LANES
+        )
+
+    def row_stage(s, carry, butterfly):
+        alo, ahi = carry
+        # stage s: t = n >> (s+1) -> row distance tr = t / LANES
+        tr = I32(rows) >> (s + I32(1))
+        return _stage_any(
+            alo, ahi, s, tr, row_ids, 0, I32(R), tbl, tile, q, butterfly
+        )
+
+    def lane_stage(s, carry, butterfly):
+        alo, ahi = carry
+        t = I32(rows * LANES) >> (s + I32(1))
+        return _stage_any(
+            alo, ahi, s, t, lane_ids, 1, I32(LANES), tbl, tile, q, butterfly
+        )
+
+    def forward(alo, ahi):
+        alo, ahi = jax.lax.fori_loop(
+            I32(0), I32(log_rows),
+            lambda s, c: row_stage(s, c, K._ct_butterfly), (alo, ahi),
+        )
+        alo, ahi = jax.lax.fori_loop(
+            I32(log_rows), I32(logn),
+            lambda s, c: lane_stage(s, c, K._ct_butterfly), (alo, ahi),
+        )
+        alo, ahi = K._condsub(alo, ahi, 2 * q)
+        return K._condsub(alo, ahi, q)
+
+    def inverse(alo, ahi):
+        log_lanes = LANES.bit_length() - 1
+
+        def inv_lane(s, c):
+            alo, ahi = c
+            t = I32(1) << s
+            return _stage_any(
+                alo, ahi, s, t, lane_ids, 1, I32(LANES), tbl, tile, q,
+                K._gs_butterfly,
+            )
+
+        def inv_row(s, c):
+            alo, ahi = c
+            tr = (I32(1) << s) // I32(LANES)
+            return _stage_any(
+                alo, ahi, s, tr, row_ids, 0, I32(R), tbl, tile, q,
+                K._gs_butterfly,
+            )
+
+        alo, ahi = jax.lax.fori_loop(I32(0), I32(log_lanes), inv_lane, (alo, ahi))
+        alo, ahi = jax.lax.fori_loop(I32(log_lanes), I32(logn), inv_row, (alo, ahi))
+        return K._condsub(alo, ahi, q)
+
+    return forward, inverse
 
 
 def _stream_body(
-    stages_fn, nchunks: int, bp: int, rows: int,
+    inverse: bool, q: int, nchunks: int, bp: int, rows: int,
     wl, wh, sl, sh, xlo, xhi, olo, ohi,
 ):
-    """Kernel body: tables in VMEM, x/o in HBM (ANY); manual DMA pipeline."""
+    logn = (rows * LANES).bit_length() - 1
+    fwd, inv = _make_stage_loops((wl, wh, sl, sh), q, rows, bp, logn)
+    stages = inv if inverse else fwd
+    R = bp * rows
 
     def inner(ilo, ihi, qlo, qhi, sem_in, sem_out):
-        def _i32(v):
-            return np.int32(v) if isinstance(v, int) else v
-
         def in_copy(slot, c):
-            slot, c = _i32(slot), _i32(c)
             return [
                 pltpu.make_async_copy(
-                    src.at[pl.ds(c * bp, bp)], dst.at[slot],
+                    src.at[pl.ds(c * np.int32(bp), bp)], dst.at[slot],
                     sem_in.at[slot, np.int32(p)],
                 )
                 for p, (src, dst) in enumerate(((xlo, ilo), (xhi, ihi)))
             ]
 
         def out_copy(slot, c):
-            slot, c = _i32(slot), _i32(c)
             return [
                 pltpu.make_async_copy(
-                    src.at[slot], dst.at[pl.ds(c * bp, bp)],
+                    src.at[slot], dst.at[pl.ds(c * np.int32(bp), bp)],
                     sem_out.at[slot, np.int32(p)],
                 )
                 for p, (src, dst) in enumerate(((qlo, olo), (qhi, ohi)))
             ]
 
-        for d in in_copy(0, 0):
+        for d in in_copy(np.int32(0), np.int32(0)):
             d.start()
-
-        TWO = np.int32(2)
-        ONE = np.int32(1)
+        TWO, ONE = np.int32(2), np.int32(1)
 
         def step(c, _):
             cur = c % TWO
@@ -93,15 +196,10 @@ def _stream_body(
 
             for d in in_copy(cur, c):
                 d.wait()
-
-            alo, ahi = stages_fn(
-                ilo[cur].reshape(bp * rows, LANES),
-                ihi[cur].reshape(bp * rows, LANES),
-                wl, wh, sl, sh,
+            alo, ahi = stages(
+                ilo[cur].reshape(R, LANES), ihi[cur].reshape(R, LANES)
             )
 
-            # before writing into the out slot, ensure its previous DMA
-            # (chunk c-2) has drained
             @pl.when(c >= TWO)
             def _():
                 for d in out_copy(cur, c - TWO):
@@ -113,14 +211,11 @@ def _stream_body(
                 d.start()
             return 0
 
-        # i32 bounds: Mosaic requires i32 memref indices and the
-        # counter dtype follows the bounds
         jax.lax.fori_loop(np.int32(0), np.int32(nchunks), step, 0)
-        # drain the final (up to) two outstanding output copies
         for back in (2, 1):
             c = nchunks - back
             if c >= 0:
-                for d in out_copy(c % 2, c):
+                for d in out_copy(np.int32(c % 2), np.int32(c)):
                     d.wait()
 
     pl.run_scoped(
@@ -134,34 +229,13 @@ def _stream_body(
     )
 
 
-def _call_stream(stages, a, q, root, inverse):
-    import sys
-
-    # the unrolled 13-stage body inside fori_loop nests deeply during trace
-    if sys.getrecursionlimit() < 20000:
-        sys.setrecursionlimit(20000)
-    n = a.shape[-1]
+@functools.partial(
+    jax.jit, static_argnames=("q", "root", "inverse", "n", "bp", "nchunks")
+)
+def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
     rows = n // LANES
-    batch = a.shape[:-1]
-    nb = int(np.prod(batch)) if batch else 1
-    logn = n.bit_length() - 1
-    bp = CHUNK
-    while nb % bp:
-        bp //= 2
-    nchunks = nb // bp
-
-    w_lo, w_hi, s_lo, s_hi = (
-        jnp.asarray(t) for t in K._tables_np(n, root, q, inverse)
-    )
-    a3 = a.reshape(nb, rows, LANES)
-    alo = (a3 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    ahi = (a3 >> jnp.uint64(32)).astype(jnp.uint32)
-
-    stages_fn = functools.partial(
-        stages, q=q, rows=rows, bp=bp, interpret=False
-    )
-    body = functools.partial(_stream_body, stages_fn, nchunks, bp, rows)
-
+    tables = [jnp.asarray(t) for t in K._tables_np(n, root, q, inverse)]
+    body = functools.partial(_stream_body, inverse, q, nchunks, bp, rows)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     with jax.enable_x64(False):
@@ -170,24 +244,58 @@ def _call_stream(stages, a, q, root, inverse):
             in_specs=[vmem] * 4 + [hbm] * 2,
             out_specs=[hbm] * 2,
             out_shape=[
-                jax.ShapeDtypeStruct((nb, rows, LANES), jnp.uint32)
+                jax.ShapeDtypeStruct(alo.shape, jnp.uint32)
             ] * 2,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )
-    # the kernel body traces lazily at invocation: keep that trace in
-    # 32-bit mode too (Mosaic rejects i64 indices; x64 tracing of the
-    # loop counter also trips a JAX promotion recursion)
-    with jax.enable_x64(False):
-        olo, ohi = call(w_lo, w_hi, s_lo, s_hi, alo, ahi)
+        return call(*tables, alo, ahi)
+
+
+def _chunking(nb: int):
+    bp = int(os.environ.get("ALOHA_STREAM_BP", "8"))
+    while nb % bp:
+        bp //= 2
+    return bp, nb // bp
+
+
+def ntt_planes(alo, ahi, q: int, psi: int):
+    """Forward NTT on (nb, rows, 128) u32 planes (native layout)."""
+    nb = alo.shape[0]
+    n = alo.shape[1] * LANES
+    bp, nchunks = _chunking(nb)
+    return _stream_call_planes(
+        alo, ahi, q=q, root=psi, inverse=False, n=n, bp=bp, nchunks=nchunks
+    )
+
+
+def intt_planes(alo, ahi, q: int, ipsi: int):
+    """Inverse NTT on (nb, rows, 128) u32 planes."""
+    nb = alo.shape[0]
+    n = alo.shape[1] * LANES
+    bp, nchunks = _chunking(nb)
+    return _stream_call_planes(
+        alo, ahi, q=q, root=ipsi, inverse=True, n=n, bp=bp, nchunks=nchunks
+    )
+
+
+def _u64_wrap(fn, a, q, root):
+    n = a.shape[-1]
+    rows = n // LANES
+    batch = a.shape[:-1]
+    nb = int(np.prod(batch)) if batch else 1
+    a3 = a.reshape(nb, rows, LANES)
+    alo = (a3 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    ahi = (a3 >> jnp.uint64(32)).astype(jnp.uint32)
+    olo, ohi = fn(alo, ahi, q, root)
     out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
     return out.reshape(batch + (n,))
 
 
 def ntt(a, q: int, psi: int):
-    """Streaming forward NTT over the last axis (batch in HBM)."""
-    return _call_stream(K._ntt_stages, a, q, psi, False)
+    """Streaming forward NTT over the last axis (uint64 convenience)."""
+    return _u64_wrap(ntt_planes, a, q, psi)
 
 
 def intt(a, q: int, ipsi: int):
-    """Streaming inverse NTT over the last axis."""
-    return _call_stream(K._intt_stages, a, q, ipsi, True)
+    """Streaming inverse NTT over the last axis (uint64 convenience)."""
+    return _u64_wrap(intt_planes, a, q, ipsi)
