@@ -9,7 +9,9 @@ R = Z_q[X]/(X^N + 1) with N = 8192, two 60-bit RNS limbs {q0, q1} and a
 special prime P for hybrid key-switching (reference: src/top/h2_top.sv:31-32,
 sim/vp/tf_rom_generator/tf_rom_generator.sv:75-77).  The TPU build keeps the
 same defaults but everything here is a genuine parameter: any power-of-two N
-and any list of <2^60 NTT-friendly moduli works.
+and any list of NTT-friendly moduli of the same magnitude class works
+(HEConfig enforces max(moduli) < 2*min(moduli) and q > 2^57 for the 60-bit
+Barrett datapath — the lazy-reduction windows assume same-magnitude moduli).
 """
 
 from __future__ import annotations
@@ -126,6 +128,18 @@ class HEConfig:
         for q, p, ip in zip(self.moduli, self.psi, self.ipsi):
             if p * ip % q != 1:
                 raise ValueError(f"ipsi is not the inverse of psi mod {q}")
+        # Same-magnitude constraint: the JAX digit-raise and keyswitch
+        # mod-down rely on single lazy reductions that are exact only when
+        # every residue/constant of modulus q_j stays below 2*q_m for any
+        # other modulus q_m (e.g. the (P-1)/2 subtraction in he_jax /
+        # keyswitch_sharded).  Enforce max(q) < 2*min(q).
+        if max(self.moduli) >= 2 * min(self.moduli):
+            raise ValueError(
+                "moduli must be same-magnitude: max(moduli) < 2*min(moduli) "
+                "(the lazy-reduction windows of the accelerator datapath "
+                "assume 60-bit-class moduli, reference: "
+                "src/vp/vxu/modalu.sv:44-46)"
+            )
         _validate(self.n, tuple(self.moduli), tuple(self.psi))
 
     @property

@@ -271,7 +271,10 @@ def keyswitch(cfg: HEConfig) -> List[Instr]:
         a.set_modulus(cfg, m)
         for part in (0, 1):
             for j in range(L):
-                a.vle(k_odd, SEG_KSK, (4 * m + 2 * j + part) * P)
+                # KSK image stride: 2L polys per modulus (gen_ksk layout
+                # [m0d0a, m0d0b, m0d1a, m0d1b, m1...]; = 4 for L = 2, the
+                # reference's 12-poly ksk_step*.txt format)
+                a.vle(k_odd, SEG_KSK, ((2 * L) * m + 2 * j + part) * P)
                 if j == 0:
                     a.vfqmul(acc[m][part], nd[j][m], k_odd)
                 else:

@@ -24,6 +24,7 @@ so that sum_j d_j*KSK_j ~= P*(c's key part)*s_src, and the accelerator's
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -31,6 +32,57 @@ import numpy as np
 from aloha_tpu import ntt_np, rns_np
 from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
 from aloha_tpu.he_np import Ciphertext
+
+
+class SecureRng:
+    """OS-entropy randomness for key material.
+
+    Exposes the subset of the numpy Generator API the key module uses
+    (`integers`, `normal`), sourced from os.urandom:
+
+      * `integers` draws 128 bits of slack beyond the range's bit length
+        before reducing, so modular bias is < 2^-128;
+      * `normal` is Box-Muller over urandom-derived uniforms (discrete
+        Gaussian rounding happens in the caller, as with numpy).
+
+    Tests pass an explicit seeded numpy Generator for determinism; the
+    default (rng=None) path uses this class so secret keys, KSK masks and
+    encryption randomness are not predictable PCG64 output.
+    """
+
+    @staticmethod
+    def _uniform_bits(nbits: int, size: int) -> np.ndarray:
+        nbytes = (nbits + 7) // 8
+        raw = os.urandom(nbytes * size)
+        out = np.empty(size, dtype=object)
+        for i in range(size):
+            out[i] = int.from_bytes(raw[i * nbytes:(i + 1) * nbytes], "little")
+        return out
+
+    def integers(self, low, high, size=None, dtype=np.int64, endpoint=False):
+        span = int(high) - int(low) + (1 if endpoint else 0)
+        n = int(np.prod(size)) if size is not None else 1
+        vals = self._uniform_bits(span.bit_length() + 128, n)
+        out = np.array([int(v) % span + int(low) for v in vals], dtype=dtype)
+        return out.reshape(size) if size is not None else out[0]
+
+    def normal(self, loc=0.0, scale=1.0, size=None):
+        n = int(np.prod(size)) if size is not None else 1
+        m = (n + 1) // 2 * 2
+        raw = np.frombuffer(os.urandom(8 * 2 * m), dtype=np.uint64)
+        u = (raw >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        u1 = np.clip(u[:m], 1e-300, 1.0)
+        u2 = u[m:]
+        r = np.sqrt(-2.0 * np.log(u1))
+        z = np.concatenate(
+            [r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)]
+        )[:n]
+        z = loc + scale * z
+        return z.reshape(size) if size is not None else z[0]
+
+
+def _default_rng():
+    return SecureRng()
 
 
 @dataclasses.dataclass
@@ -48,7 +100,7 @@ def _to_residues(signed_coeff: np.ndarray, cfg: HEConfig) -> np.ndarray:
 
 
 def gen_secret(cfg: HEConfig = DEFAULT_CONFIG, rng=None) -> SecretKey:
-    rng = rng or np.random.default_rng()
+    rng = rng if rng is not None else _default_rng()
     coeff = rng.integers(-1, 2, size=cfg.n, dtype=np.int64)
     res = _to_residues(coeff, cfg)
     ntt = np.stack(
@@ -73,7 +125,7 @@ def _uniform_ntt(cfg: HEConfig, rng) -> np.ndarray:
     for q in moduli:
         big_q *= q
     bits = big_q.bit_length()
-    n_chunks = (bits + 62) // 63
+    n_chunks = (bits + 128 + 62) // 63  # 128 bits of slack: modular bias < 2^-128
     vals = np.zeros(cfg.n, dtype=object)
     for c in range(n_chunks):
         chunk = rng.integers(0, 1 << 63, size=cfg.n, dtype=np.uint64)
@@ -114,7 +166,7 @@ def gen_ksk(
     digits' (a, b) pairs) — for the default 2-limb config this is the
     reference's 12-poly ksk_step*.txt image / KSK DMA format.
     """
-    rng = rng or np.random.default_rng()
+    rng = rng if rng is not None else _default_rng()
     L = cfg.n_limbs
     nmod = L + 1
     sp = cfg.special_prime
@@ -191,7 +243,7 @@ def encrypt(
     rng=None,
 ) -> Ciphertext:
     """Symmetric RLWE encryption of signed coefficients (decrypt = a + b*s)."""
-    rng = rng or np.random.default_rng()
+    rng = rng if rng is not None else _default_rng()
     L = cfg.n_limbs
     n = cfg.n
     b = np.empty((L, n), dtype=np.uint64)

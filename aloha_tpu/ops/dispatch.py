@@ -1,45 +1,73 @@
 """Transform dispatch: choose the NTT implementation for the HE ops.
 
-Two implementations share semantics (bit-identical results):
+Three implementations share semantics (bit-identical results):
   * `xla`    — aloha_tpu.ntt_jax, compiler-friendly graphs, runs anywhere
-  * `pallas` — aloha_tpu.ops.ntt_pallas, hand-tiled TPU kernels
+  * `pallas` — aloha_tpu.ops.ntt_pallas, hand-tiled grid kernel
+  * `stream` — aloha_tpu.ops.ntt_stream, single-launch DMA-pipelined batch
+               kernel (best for large batches)
 
-Selection: explicit `set_impl("pallas"|"xla")`, or env ALOHA_NTT_IMPL;
-default is `xla` (the Pallas path is opt-in because remote kernel-compile
-availability varies across hosted TPU environments — see docs/DESIGN.md).
+Selection: explicit `set_impl(...)`, or env ALOHA_NTT_IMPL; by default the
+fastest available path is picked automatically — the Pallas kernels on a
+TPU backend, the XLA graph elsewhere — with a one-shot fallback to `xla`
+if the kernel path fails to compile on the hosted toolchain.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
 from aloha_tpu import ntt_jax
 
-_impl = os.environ.get("ALOHA_NTT_IMPL", "xla")
+_impl = os.environ.get("ALOHA_NTT_IMPL", "auto")
+_IMPLS = ("auto", "xla", "pallas", "stream")
 
 
 def set_impl(name: str) -> None:
     global _impl
-    if name not in ("xla", "pallas"):
-        raise ValueError(f"unknown NTT impl {name!r}")
+    if name not in _IMPLS:
+        raise ValueError(f"unknown NTT impl {name!r}; pick one of {_IMPLS}")
     _impl = name
 
 
 def get_impl() -> str:
-    return _impl
+    return _resolve() if _impl == "auto" else _impl
+
+
+def _resolve() -> str:
+    from aloha_tpu.ops import ntt_pallas
+
+    return "pallas" if ntt_pallas.available() else "xla"
+
+
+def _fallback(exc: Exception) -> None:
+    """Kernel compile failed (hosted remote-compile toolchains vary):
+    demote to the XLA path for the rest of the process."""
+    global _impl
+    warnings.warn(
+        f"Pallas NTT kernel unavailable ({type(exc).__name__}: {exc}); "
+        "falling back to the XLA path"
+    )
+    _impl = "xla"
+
+
+def _run(kind: str, a, q: int, root: int):
+    impl = _impl if _impl != "auto" else _resolve()
+    if impl in ("pallas", "stream"):
+        try:
+            if impl == "stream":
+                from aloha_tpu.ops import ntt_stream as mod
+            else:
+                from aloha_tpu.ops import ntt_pallas as mod
+            return getattr(mod, kind)(a, q, root)
+        except Exception as exc:  # pragma: no cover - toolchain dependent
+            _fallback(exc)
+    return getattr(ntt_jax, kind)(a, q, root)
 
 
 def ntt(a, q: int, psi: int):
-    if _impl == "pallas":
-        from aloha_tpu.ops import ntt_pallas
-
-        return ntt_pallas.ntt(a, q, psi)
-    return ntt_jax.ntt(a, q, psi)
+    return _run("ntt", a, q, psi)
 
 
 def intt(a, q: int, ipsi: int):
-    if _impl == "pallas":
-        from aloha_tpu.ops import ntt_pallas
-
-        return ntt_pallas.intt(a, q, ipsi)
-    return ntt_jax.intt(a, q, ipsi)
+    return _run("intt", a, q, ipsi)

@@ -62,15 +62,18 @@ def available() -> bool:
 
 def _dyn_partner(a, bit, t, axis, size):
     """Value at index (i XOR t) along `axis`; t is a traced non-negative
-    int32.  Select keeps reads inside each XOR block, so rolls wrapping
-    across stacked polys are masked out."""
+    int32.  Select keeps reads inside each XOR block, so roll wraparound
+    is masked out."""
     fwd = pltpu.roll(a, t, axis)          # value from i - t
     bwd = pltpu.roll(a, size - t, axis)   # value from i + t
     return jnp.where(bit, fwd, bwd)
 
 
-def _stage_any(alo, ahi, s, t, ids, axis, size, tbl, tile, q, butterfly):
-    """One butterfly stage with traced distance t along `axis`."""
+def _stage_any(alo, ahi, s, t, ids, axis, size, tbl, q, butterfly):
+    """One butterfly stage with traced distance t along `axis`.
+
+    Data is (bp, rows, LANES); twiddle rows are (1, rows, LANES) and
+    broadcast *inside* the butterfly ops (never materialized at bp)."""
     bit = (ids & t) != 0
     plo = _dyn_partner(alo, bit, t, axis, size)
     phi = _dyn_partner(ahi, bit, t, axis, size)
@@ -78,49 +81,48 @@ def _stage_any(alo, ahi, s, t, ids, axis, size, tbl, tile, q, butterfly):
     uhi = jnp.where(bit, phi, ahi)
     vlo = jnp.where(bit, alo, plo)
     vhi = jnp.where(bit, ahi, phi)
-    wl, wh, sl, sh = (tile(ref[s]) for ref in tbl)
+    wl, wh, sl, sh = (ref[s][None] for ref in tbl)
     (tlo, thi), (blo, bhi) = butterfly(
         ulo, uhi, vlo, vhi, wl, wh, sl, sh, q
     )
     return jnp.where(bit, blo, tlo), jnp.where(bit, bhi, thi)
 
 
-def _make_stage_loops(tbl, q, rows, bp, logn):
-    """Row-axis and lane-axis stage loops over (bp*rows, LANES) planes."""
-    R = bp * rows
-    log_rows = rows.bit_length() - 1
-    lane_ids = jax.lax.broadcasted_iota(I32, (R, LANES), 1)
-    # row index *within a polynomial* (rolls stay poly-local via the mask)
-    row_ids = jax.lax.broadcasted_iota(I32, (R, LANES), 0) % np.int32(rows)
+def _fori(lo, hi, body, init):
+    """fori_loop with a compile-time unroll knob (ALOHA_STREAM_UNROLL)."""
+    unroll = int(os.environ.get("ALOHA_STREAM_UNROLL", "1"))
+    if unroll > 1:
+        return jax.lax.fori_loop(lo, hi, body, init, unroll=unroll)
+    return jax.lax.fori_loop(lo, hi, body, init)
 
-    def tile(wrow):
-        if bp == 1:
-            return wrow
-        return jnp.broadcast_to(wrow[None], (bp, rows, LANES)).reshape(
-            R, LANES
-        )
+
+def _make_stage_loops(tbl, q, rows, bp, logn):
+    """Row-axis and lane-axis stage loops over (bp, rows, LANES) planes."""
+    log_rows = rows.bit_length() - 1
+    lane_ids = jax.lax.broadcasted_iota(I32, (1, rows, LANES), 2)
+    row_ids = jax.lax.broadcasted_iota(I32, (1, rows, LANES), 1)
 
     def row_stage(s, carry, butterfly):
         alo, ahi = carry
         # stage s: t = n >> (s+1) -> row distance tr = t / LANES
         tr = I32(rows) >> (s + I32(1))
         return _stage_any(
-            alo, ahi, s, tr, row_ids, 0, I32(R), tbl, tile, q, butterfly
+            alo, ahi, s, tr, row_ids, 1, I32(rows), tbl, q, butterfly
         )
 
     def lane_stage(s, carry, butterfly):
         alo, ahi = carry
         t = I32(rows * LANES) >> (s + I32(1))
         return _stage_any(
-            alo, ahi, s, t, lane_ids, 1, I32(LANES), tbl, tile, q, butterfly
+            alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q, butterfly
         )
 
     def forward(alo, ahi):
-        alo, ahi = jax.lax.fori_loop(
+        alo, ahi = _fori(
             I32(0), I32(log_rows),
             lambda s, c: row_stage(s, c, K._ct_butterfly), (alo, ahi),
         )
-        alo, ahi = jax.lax.fori_loop(
+        alo, ahi = _fori(
             I32(log_rows), I32(logn),
             lambda s, c: lane_stage(s, c, K._ct_butterfly), (alo, ahi),
         )
@@ -134,7 +136,7 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
             alo, ahi = c
             t = I32(1) << s
             return _stage_any(
-                alo, ahi, s, t, lane_ids, 1, I32(LANES), tbl, tile, q,
+                alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q,
                 K._gs_butterfly,
             )
 
@@ -142,12 +144,12 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
             alo, ahi = c
             tr = (I32(1) << s) // I32(LANES)
             return _stage_any(
-                alo, ahi, s, tr, row_ids, 0, I32(R), tbl, tile, q,
+                alo, ahi, s, tr, row_ids, 1, I32(rows), tbl, q,
                 K._gs_butterfly,
             )
 
-        alo, ahi = jax.lax.fori_loop(I32(0), I32(log_lanes), inv_lane, (alo, ahi))
-        alo, ahi = jax.lax.fori_loop(I32(log_lanes), I32(logn), inv_row, (alo, ahi))
+        alo, ahi = _fori(I32(0), I32(log_lanes), inv_lane, (alo, ahi))
+        alo, ahi = _fori(I32(log_lanes), I32(logn), inv_row, (alo, ahi))
         return K._condsub(alo, ahi, q)
 
     return forward, inverse
@@ -160,7 +162,6 @@ def _stream_body(
     logn = (rows * LANES).bit_length() - 1
     fwd, inv = _make_stage_loops((wl, wh, sl, sh), q, rows, bp, logn)
     stages = inv if inverse else fwd
-    R = bp * rows
 
     def inner(ilo, ihi, qlo, qhi, sem_in, sem_out):
         def in_copy(slot, c):
@@ -196,17 +197,15 @@ def _stream_body(
 
             for d in in_copy(cur, c):
                 d.wait()
-            alo, ahi = stages(
-                ilo[cur].reshape(R, LANES), ihi[cur].reshape(R, LANES)
-            )
+            alo, ahi = stages(ilo[cur], ihi[cur])
 
             @pl.when(c >= TWO)
             def _():
                 for d in out_copy(cur, c - TWO):
                     d.wait()
 
-            qlo[cur] = alo.reshape(bp, rows, LANES)
-            qhi[cur] = ahi.reshape(bp, rows, LANES)
+            qlo[cur] = alo
+            qhi[cur] = ahi
             for d in out_copy(cur, c):
                 d.start()
             return 0

@@ -80,10 +80,18 @@ def _local_rotate_shard(a_l, b_l, ksk_l, step_exp, cfg: HEConfig, axis: str):
     # must be in a common ring first — they are (each entry is mod its own
     # modulus, summed lazily then reduced).
     flat = jnp.stack([contrib[m][p] for m in range(L + 1) for p in (0, 1)])
-    summed = jax.lax.psum(flat, axis)  # raw sum < L*q_m < 2^62, no overflow
+    # raw sum of L canonical terms < L*q_m < 2^62 for same-magnitude moduli
+    # (HEConfig validates max(q) < 2*min(q)), so the u64 psum cannot wrap.
+    summed = jax.lax.psum(flat, axis)
     c = {}
     for k, (m, p) in enumerate([(m, p) for m in range(L + 1) for p in (0, 1)]):
-        c[(m, p)] = r.lazy_reduce(summed[k], moduli[m])
+        # the sum is < L*q: each conditional subtract removes at most one q,
+        # so chain L-1 of them (trace-time unrolled; L is tiny) to restore
+        # the consumers' [0, 2q) laziness window for any limb count.
+        v = summed[k]
+        for _ in range(max(1, L - 1)):
+            v = r.lazy_reduce(v, moduli[m])
+        c[(m, p)] = v
 
     # mod-down by P (replicated work, negligible) then finish own limb
     m_coeff = [

@@ -131,6 +131,17 @@ void* aloha_tdb_open(const char* path) {
       goto fail;
     }
     t->names[name_bytes] = 0;
+    // validate the field table against the name pool up front so
+    // aloha_tdb_field can never read out of bounds on a corrupt file
+    for (uint32_t i = 0; i < n_fields; ++i) {
+      const TdbField& fl = t->fields[i];
+      if ((uint64_t)fl.name_off + fl.name_len > name_bytes) {
+        delete[] t->fields;
+        delete[] t->names;
+        delete t;
+        goto fail;
+      }
+    }
     t->payload_off = ftell(f);
     return t;
   }
@@ -154,7 +165,7 @@ int aloha_tdb_n_fields(void* h) {
 // Copy field metadata: name into name_buf (NUL terminated), returns
 // word_off<<32 | word_len, or -1.
 long long aloha_tdb_field(void* h, int idx, char* name_buf, int name_cap) {
-  if (!h) return -1;
+  if (!h || name_cap < 1) return -1;  // cap < 1 would underflow the copy
   Tdb* t = (Tdb*)h;
   if (idx < 0 || (uint32_t)idx >= t->n_fields) return -1;
   TdbField& fl = t->fields[idx];

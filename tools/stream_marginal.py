@@ -1,0 +1,37 @@
+"""Marginal throughput of the streaming NTT (chained launches; the
+K-scaling slope removes the ~30 ms tunnel dispatch overhead)."""
+import os, sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+from aloha_tpu.config import DEFAULT_CONFIG as CFG
+from aloha_tpu.ops import ntt_stream
+
+NB = int(os.environ.get("NB", "64"))
+q, psi = CFG.moduli[0], CFG.psi[0]
+n = CFG.n
+rng = np.random.default_rng(0)
+a = rng.integers(0, q, size=(NB, n), dtype=np.uint64)
+alo = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32).reshape(NB, n // 128, 128))
+ahi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32).reshape(NB, n // 128, 128))
+
+def chain(alo, ahi, k):
+    for _ in range(k):
+        alo, ahi = ntt_stream.ntt_planes(alo, ahi, q, psi)
+    return alo, ahi
+
+res = {}
+for K in (16, 48):
+    f = jax.jit(lambda al, ah, K=K: chain(al, ah, K))
+    r = f(alo, ahi)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        r = f(alo, ahi)
+        _ = np.asarray(r[0][0, 0, 0])
+    res[K] = (time.perf_counter() - t0) / iters
+    print(f"K={K}: {res[K]*1e3:.1f} ms", flush=True)
+slope = (res[48] - res[16]) / (32 * NB)
+cfgs = {k: os.environ.get(k, "") for k in
+        ("ALOHA_STREAM_BP", "ALOHA_STREAM_UNROLL", "NB")}
+print(f"{cfgs}: marginal {slope*1e6:.3f} us/poly -> {1/slope:,.0f} NTT/s", flush=True)
