@@ -119,11 +119,11 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
 
     def forward(alo, ahi):
         alo, ahi = _fori(
-            I32(0), I32(log_rows),
+            0, log_rows,
             lambda s, c: row_stage(s, c, K._ct_butterfly), (alo, ahi),
         )
         alo, ahi = _fori(
-            I32(log_rows), I32(logn),
+            log_rows, logn,
             lambda s, c: lane_stage(s, c, K._ct_butterfly), (alo, ahi),
         )
         alo, ahi = K._condsub(alo, ahi, 2 * q)
@@ -148,8 +148,8 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
                 K._gs_butterfly,
             )
 
-        alo, ahi = _fori(I32(0), I32(log_lanes), inv_lane, (alo, ahi))
-        alo, ahi = _fori(I32(log_lanes), I32(logn), inv_row, (alo, ahi))
+        alo, ahi = _fori(0, log_lanes, inv_lane, (alo, ahi))
+        alo, ahi = _fori(log_lanes, logn, inv_row, (alo, ahi))
         return K._condsub(alo, ahi, q)
 
     return forward, inverse
@@ -245,7 +245,14 @@ def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
             out_shape=[
                 jax.ShapeDtypeStruct(alo.shape, jnp.uint32)
             ] * 2,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # the default 16 MiB scoped-vmem budget forces spills with
+                # chunked double-buffering; v5e has far more physical VMEM
+                vmem_limit_bytes=int(
+                    os.environ.get("ALOHA_STREAM_VMEM", str(100 * 2**20))
+                ),
+            ),
         )
         return call(*tables, alo, ahi)
 
