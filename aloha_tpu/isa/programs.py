@@ -223,11 +223,9 @@ def keyswitch(cfg: HEConfig) -> List[Instr]:
     L = cfg.n_limbs
     nmod = L + 1
     if L > 2:
-        raise NotImplementedError(
-            f"the ISA keyswitch kernel supports up to 2 ciphertext limbs "
-            f"(register budget: {L}*(L+2)+2*{L}+3 long-lived values exceed "
-            "the 16 even vregs); use he_np/he_jax for larger configs"
-        )
+        # the register-resident schedule below needs L(L+2)+2L+3 long-lived
+        # even vregs; beyond 2 limbs switch to the SPM-spilling schedule
+        return _keyswitch_spill(cfg)
     a.vsetvl(cfg.n * 64)
 
     # --- register allocation (evens for long-lived values, odds for temps)
@@ -313,6 +311,111 @@ def keyswitch(cfg: HEConfig) -> List[Instr]:
     for m in range(L):
         a.vse(acc[m][0], SEG_RSLT, m * P)
     for m in range(L):
+        a.vse(acc[m][1], SEG_RSLT, (L + m) * P)
+    a.vbreak()
+    return a.prog
+
+
+def _keyswitch_spill(cfg: HEConfig) -> List[Instr]:
+    """Keyswitch for 3+ ciphertext limbs: SPM-spilling register schedule.
+
+    The 16-even-vreg budget cannot hold the L(L+1) digit-NTT values, so
+    they spill to a scratch area of the result segment just past the
+    2L output polys (the device reserves it — AlohaDevice.run_rotate
+    documents the requirement).  Layout from scratch base S0 = 2L polys:
+
+        nd[j][m]  at S0 + (j*(L+1) + m)   (L*(L+1) polys)
+        arot[m]   at S0 + L*(L+1) + m     (L polys)
+
+    Same arithmetic as the register-resident 2-limb kernel; the only
+    difference is vse/vle traffic, exactly how the silicon would spill.
+    Accumulators stay register-resident (2(L+1) evens, enough to L = 6).
+    """
+    a = Asm()
+    P = _poly_bytes(cfg)
+    L = cfg.n_limbs
+    nmod = L + 1
+    if 2 * nmod + 2 > 16:
+        raise NotImplementedError(
+            f"{L} limbs need {2 * nmod} accumulator vregs (> 14 even)"
+        )
+    S0 = 2 * L  # scratch base, in polys
+    nd_off = lambda j, m: (S0 + j * nmod + m) * P
+    arot_off = lambda m: (S0 + L * nmod + m) * P
+
+    a.vsetvl(cfg.n * 64)
+    tmp_e = 0
+    nd_e = 2
+    # accumulators: consecutive even regs starting at 4
+    evens = iter(range(4, 32, 2))
+    acc = [[next(evens) for _ in (0, 1)] for _ in range(nmod)]
+    t_odd, k_odd, d_odd = 1, 3, 5
+
+    # --- phase 1: digits + aut(a), spilled to scratch
+    for j in range(L):
+        a.set_modulus(cfg, j)
+        a.vle(d_odd, SEG_SRC0, (L + j) * P)     # b_qj (NTT domain)
+        a.vintt(t_odd, d_odd)
+        a.vaut(d_odd, t_odd)                    # digit, coeff domain
+        for m in range(nmod):
+            if m == j:
+                continue
+            a.set_modulus(cfg, m)
+            if cfg.moduli[m] > cfg.moduli[j]:
+                a.vcpy(tmp_e, d_odd)
+            else:
+                a.vfqmod(tmp_e, d_odd)
+            a.vntt(nd_e, tmp_e)
+            a.vse(nd_e, SEG_RSLT, nd_off(j, m))
+        a.set_modulus(cfg, j)
+        a.vntt(nd_e, d_odd)
+        a.vse(nd_e, SEG_RSLT, nd_off(j, j))
+        # aut(a_qj)
+        a.vle(t_odd, SEG_SRC0, j * P)
+        a.vintt(tmp_e, t_odd)
+        a.vaut(t_odd, tmp_e)
+        a.vntt(nd_e, t_odd)
+        a.vse(nd_e, SEG_RSLT, arot_off(j))
+
+    # --- phase 2: inner products from spilled digit NTTs
+    stride = 2 * L
+    for m in range(nmod):
+        a.set_modulus(cfg, m)
+        for part in (0, 1):
+            for j in range(L):
+                a.vle(nd_e, SEG_RSLT, nd_off(j, m))
+                a.vle(k_odd, SEG_KSK, (stride * m + 2 * j + part) * P)
+                if j == 0:
+                    a.vfqmul(acc[m][part], nd_e, k_odd)
+                else:
+                    a.vfqmul(k_odd, nd_e, k_odd)
+                    a.vfqadd(acc[m][part], acc[m][part], k_odd)
+
+    # --- phase 3: mod-down by P with (P-1)/2 rounding, P^-1 scale
+    sp = cfg.special_prime
+    half = (sp - 1) // 2
+    a.set_modulus(cfg, nmod - 1)
+    m_reg = [None, None]
+    for part in (0, 1):
+        a.vintt(tmp_e, acc[nmod - 1][part])
+        a.vfqadd_vs(acc[nmod - 1][part], tmp_e, half)
+        m_reg[part] = acc[nmod - 1][part]
+    for m in range(L):
+        a.set_modulus(cfg, m)
+        pinv = cfg.pinv_mod(m)
+        # a-part: acc - NTT(m0 - half) then * P^-1, + arot, store
+        a.vfqsub_vs(tmp_e, m_reg[0], half)
+        a.vntt(t_odd, tmp_e)
+        a.vfqsub(acc[m][0], acc[m][0], t_odd)
+        a.vfqmul_vs(acc[m][0], acc[m][0], pinv)
+        a.vle(k_odd, SEG_RSLT, arot_off(m))
+        a.vfqadd(acc[m][0], acc[m][0], k_odd)
+        a.vse(acc[m][0], SEG_RSLT, m * P)
+        # b-part
+        a.vfqsub_vs(tmp_e, m_reg[1], half)
+        a.vntt(t_odd, tmp_e)
+        a.vfqsub(acc[m][1], acc[m][1], t_odd)
+        a.vfqmul_vs(acc[m][1], acc[m][1], pinv)
         a.vse(acc[m][1], SEG_RSLT, (L + m) * P)
     a.vbreak()
     return a.prog

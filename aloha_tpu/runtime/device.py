@@ -120,9 +120,16 @@ class AlohaDevice:
                 "reference: sim/top/top_noaxilite_tb.sv:530-532)"
             )
         n = self.cfg.n
+        L = self.cfg.n_limbs
         csr_step = pow(3, step, 2 * n)
         slot = math.ceil(math.log2(step)) - 1
-        ksk_ptr = slot * 12 * self.poly_rows
+        # one key image per power-of-two step: 2L(L+1) polys (= the
+        # reference's 12-poly / 768-row stride for the 2-limb default)
+        ksk_ptr = slot * 2 * L * (L + 1) * self.poly_rows
+        # For L > 2 the keyswitch program spills its digit NTTs to the
+        # result segment past the 2L output polys (see
+        # programs._keyswitch_spill): rows [dest + 2L*polyrows,
+        # dest + (2L + L(L+1) + L)*polyrows) are clobbered.
         self.run_vp(
             programs.ISRAM_KEYSWITCH, src, 0, dest, csr_step, ksk_ptr
         )

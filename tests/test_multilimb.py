@@ -53,9 +53,27 @@ def test_three_limb_rotate_end_to_end():
     assert np.abs(got[:16] - want[:16]).max() < 1e-4
 
 
-def test_isa_keyswitch_rejects_three_limbs():
-    with pytest.raises(NotImplementedError, match="2 ciphertext limbs"):
-        programs.keyswitch(CFG3)
+def test_isa_keyswitch_three_limbs_matches_functional():
+    """The SPM-spilling ISA keyswitch (L >= 3) replays the functional
+    rotation word-exactly through the full device stack."""
+    from aloha_tpu.runtime.device import AlohaDevice
+
+    rng = np.random.default_rng(5)
+    sk = keys.gen_secret(CFG3, np.random.default_rng(0))
+    ksk = keys.gen_rotation_key(sk, 2, CFG3, np.random.default_rng(1))
+    L, n = CFG3.n_limbs, CFG3.n
+    a = rng.integers(0, CFG3.moduli[0], size=(L, n), dtype=np.uint64)
+    b = rng.integers(0, CFG3.moduli[0], size=(L, n), dtype=np.uint64)
+    want = he.rotate(he.Ciphertext(a=a.copy(), b=b.copy()), 2, ksk, CFG3)
+
+    dev = AlohaDevice(CFG3)
+    dev.dma_load_ksk(ksk)
+    rows = n // 128
+    dev.dma_write_spm(0, np.concatenate([a, b]))
+    dev.run_rotate(dest=2 * L * rows * 4, src=0, step=2)
+    out = dev.dma_read_spm(2 * L * rows * 4, 2 * L * rows).reshape(2 * L, n)
+    assert np.array_equal(out[:L], want.a)
+    assert np.array_equal(out[L:], want.b)
 
 
 def test_small_modulus_rejected():

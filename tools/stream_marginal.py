@@ -1,12 +1,13 @@
-"""Marginal throughput of the streaming NTT (chained launches; the
-K-scaling slope removes the ~30 ms tunnel dispatch overhead)."""
+"""Marginal throughput of the streaming NTT.  Chained launches; the
+K-scaling slope removes dispatch overhead; min-of-iters tames the
+tunnel's latency variance."""
 import os, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
 from aloha_tpu.config import DEFAULT_CONFIG as CFG
 from aloha_tpu.ops import ntt_stream
 
-NB = int(os.environ.get("NB", "64"))
+NB = int(os.environ.get("NB", "256"))
 q, psi = CFG.moduli[0], CFG.psi[0]
 n = CFG.n
 rng = np.random.default_rng(0)
@@ -20,18 +21,19 @@ def chain(alo, ahi, k):
     return alo, ahi
 
 res = {}
-for K in (16, 48):
+for K in (4, 12):
     f = jax.jit(lambda al, ah, K=K: chain(al, ah, K))
     r = f(alo, ahi)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    iters = 4
-    for _ in range(iters):
+    _ = np.asarray(r[0][0, 0, 0])
+    times = []
+    for _i in range(6):
+        t0 = time.perf_counter()
         r = f(alo, ahi)
         _ = np.asarray(r[0][0, 0, 0])
-    res[K] = (time.perf_counter() - t0) / iters
-    print(f"K={K}: {res[K]*1e3:.1f} ms", flush=True)
-slope = (res[48] - res[16]) / (32 * NB)
+        times.append(time.perf_counter() - t0)
+    res[K] = min(times)
+    print(f"K={K}: min {res[K]*1e3:.1f} ms over {sorted(round(t*1e3) for t in times)}", flush=True)
+slope = (res[12] - res[4]) / (8 * NB)
 cfgs = {k: os.environ.get(k, "") for k in
         ("ALOHA_STREAM_BP", "ALOHA_STREAM_UNROLL", "NB")}
-print(f"{cfgs}: marginal {slope*1e6:.3f} us/poly -> {1/slope:,.0f} NTT/s", flush=True)
+print(f"{cfgs}: marginal {slope*1e6:.3f} us/poly -> {1/max(slope,1e-9):,.0f} NTT/s", flush=True)
