@@ -117,11 +117,34 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
             alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q, butterfly
         )
 
-    def forward(alo, ahi):
-        alo, ahi = _fori(
-            0, log_rows,
-            lambda s, c: row_stage(s, c, K._ct_butterfly), (alo, ahi),
+    def _row_static_fwd(alo, ahi, s: int):
+        """Row stage with a COMPILE-TIME stage index: pure sublane
+        regrouping via reshapes (the grid kernel's formulation) instead of
+        dynamic sublane rotates — enabled by ALOHA_STREAM_ROWMODE=static."""
+        tr = rows >> (s + 1)
+        shp = (bp, rows // (2 * tr), 2, tr, LANES)
+        vlo = alo.reshape(shp)
+        vhi = ahi.reshape(shp)
+        w = [ref[s][None].reshape((1,) + shp[1:])[:, :, 0] for ref in tbl]
+        (tlo, thi), (blo, bhi) = K._ct_butterfly(
+            vlo[:, :, 0], vhi[:, :, 0], vlo[:, :, 1], vhi[:, :, 1],
+            w[0], w[1], w[2], w[3], q,
         )
+        alo = jnp.stack([tlo, blo], axis=2).reshape(bp, rows, LANES)
+        ahi = jnp.stack([thi, bhi], axis=2).reshape(bp, rows, LANES)
+        return alo, ahi
+
+    _rowmode = os.environ.get("ALOHA_STREAM_ROWMODE", "dyn")
+
+    def forward(alo, ahi):
+        if _rowmode == "static":
+            for s in range(log_rows):
+                alo, ahi = _row_static_fwd(alo, ahi, s)
+        else:
+            alo, ahi = _fori(
+                0, log_rows,
+                lambda s, c: row_stage(s, c, K._ct_butterfly), (alo, ahi),
+            )
         alo, ahi = _fori(
             log_rows, logn,
             lambda s, c: lane_stage(s, c, K._ct_butterfly), (alo, ahi),
