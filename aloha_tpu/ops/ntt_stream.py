@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aloha_tpu import rns_jax as r32
 from aloha_tpu.ops import ntt_pallas as K
 from aloha_tpu.ops.ntt_pallas import LANES
 
@@ -60,39 +61,70 @@ def available() -> bool:
     return _OK and K.available()
 
 
-def _dyn_partner(a, bit, t, axis, size):
-    """Value at index (i XOR t) along `axis`; t is a traced non-negative
-    int32.  Select keeps reads inside each XOR block, so roll wraparound
-    is masked out."""
-    fwd = pltpu.roll(a, t, axis)          # value from i - t
-    bwd = pltpu.roll(a, size - t, axis)   # value from i + t
-    return jnp.where(bit, fwd, bwd)
+def _roll(a, t, axis):
+    return pltpu.roll(a, t, axis)
 
 
-def _stage_any(alo, ahi, s, t, ids, axis, size, tbl, q, butterfly):
-    """One butterfly stage with traced distance t along `axis`.
+def _ct_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
+    """One forward (Harvey CT) stage with traced distance t along `axis`.
 
-    Data is (bp, rows, LANES); twiddle rows are (1, rows, LANES) and
-    broadcast *inside* the butterfly ops (never materialized at bp)."""
+    Roll-the-outputs formulation — 4 rolls and 2 selects per stage instead
+    of the naive 8 rolls and 12 selects: with x' = condsub(x, 2q) and
+    y = w*x (Shoup, < 2q; the twiddle of partners is identical, a property
+    of the psi^bitrev tables), the butterfly is
+
+        out = bit ? roll(x', +t) + (2q - y)    # u' + 2q - w v
+              :     x' + roll(y, -t)           # u' + w v
+
+    Data is (bp, rows, LANES); twiddle rows (1, rows, LANES) broadcast
+    inside the ops."""
     bit = (ids & t) != 0
-    plo = _dyn_partner(alo, bit, t, axis, size)
-    phi = _dyn_partner(ahi, bit, t, axis, size)
-    ulo = jnp.where(bit, plo, alo)
-    uhi = jnp.where(bit, phi, ahi)
-    vlo = jnp.where(bit, alo, plo)
-    vhi = jnp.where(bit, ahi, phi)
     wl, wh, sl, sh = (ref[s][None] for ref in tbl)
-    (tlo, thi), (blo, bhi) = butterfly(
-        ulo, uhi, vlo, vhi, wl, wh, sl, sh, q
+    xplo, xphi = K._condsub(alo, ahi, 2 * q)
+    ylo, yhi = K._shoup_mul(alo, ahi, wl, wh, sl, sh, q)
+    # top = x' + y[i + t]
+    tlo, thi = r32.add64(
+        xplo, xphi, _roll(ylo, size - t, axis), _roll(yhi, size - t, axis)
+    )
+    # bottom = x'[i - t] + (2q - y)
+    zlo, zhi = r32.sub64(*r32.const64(2 * q), ylo, yhi)
+    blo, bhi = r32.add64(
+        _roll(xplo, t, axis), _roll(xphi, t, axis), zlo, zhi
     )
     return jnp.where(bit, blo, tlo), jnp.where(bit, bhi, thi)
 
 
+def _gs_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
+    """One inverse (lazy GS) stage with traced distance t along `axis`:
+
+        out = bit ? halfq(w * (x[i-t] - x + 2q))   # ((u - v) w)/2
+              :     halfq(condsub(x + x[i+t], 2q)) # (u + v)/2
+    """
+    bit = (ids & t) != 0
+    wl, wh, sl, sh = (ref[s][None] for ref in tbl)
+    # sum path (valid at bit = 0)
+    slo_, shi_ = r32.add64(
+        alo, ahi, _roll(alo, size - t, axis), _roll(ahi, size - t, axis)
+    )
+    s0lo, s0hi = K._halfq(*K._condsub(slo_, shi_, 2 * q), q)
+    # diff path (valid at bit = 1): u - v + 2q = x[i-t] - x + 2q
+    dlo, dhi = r32.sub64(*r32.const64(2 * q), alo, ahi)
+    dlo, dhi = r32.add64(_roll(alo, t, axis), _roll(ahi, t, axis), dlo, dhi)
+    wvlo, wvhi = K._shoup_mul(dlo, dhi, wl, wh, sl, sh, q)
+    s1lo, s1hi = K._halfq(wvlo, wvhi, q)
+    return jnp.where(bit, s1lo, s0lo), jnp.where(bit, s1hi, s0hi)
+
+
 def _fori(lo, hi, body, init):
-    """fori_loop with a compile-time unroll knob (ALOHA_STREAM_UNROLL)."""
-    unroll = int(os.environ.get("ALOHA_STREAM_UNROLL", "1"))
-    if unroll > 1:
-        return jax.lax.fori_loop(lo, hi, body, init, unroll=unroll)
+    """fori_loop with a compile-time unroll knob (ALOHA_STREAM_UNROLL).
+
+    Mosaic's for-loop lowering supports unroll=1 or full unroll only;
+    "full" unrolls at LOWERING time — the traced body stays one stage, so
+    the round-1 trace blowup does not return, while the backend gets
+    straight-line code to schedule."""
+    mode = os.environ.get("ALOHA_STREAM_UNROLL", "1")
+    if mode == "full":
+        return jax.lax.fori_loop(lo, hi, body, init, unroll=hi - lo)
     return jax.lax.fori_loop(lo, hi, body, init)
 
 
@@ -102,19 +134,19 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
     lane_ids = jax.lax.broadcasted_iota(I32, (1, rows, LANES), 2)
     row_ids = jax.lax.broadcasted_iota(I32, (1, rows, LANES), 1)
 
-    def row_stage(s, carry, butterfly):
+    def row_stage(s, carry, stage_fn):
         alo, ahi = carry
         # stage s: t = n >> (s+1) -> row distance tr = t / LANES
         tr = I32(rows) >> (s + I32(1))
-        return _stage_any(
-            alo, ahi, s, tr, row_ids, 1, I32(rows), tbl, q, butterfly
+        return stage_fn(
+            alo, ahi, s, tr, row_ids, 1, I32(rows), tbl, q
         )
 
-    def lane_stage(s, carry, butterfly):
+    def lane_stage(s, carry, stage_fn):
         alo, ahi = carry
         t = I32(rows * LANES) >> (s + I32(1))
-        return _stage_any(
-            alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q, butterfly
+        return stage_fn(
+            alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q
         )
 
     def _row_static_fwd(alo, ahi, s: int):
@@ -143,11 +175,11 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
         else:
             alo, ahi = _fori(
                 0, log_rows,
-                lambda s, c: row_stage(s, c, K._ct_butterfly), (alo, ahi),
+                lambda s, c: row_stage(s, c, _ct_stage), (alo, ahi),
             )
         alo, ahi = _fori(
             log_rows, logn,
-            lambda s, c: lane_stage(s, c, K._ct_butterfly), (alo, ahi),
+            lambda s, c: lane_stage(s, c, _ct_stage), (alo, ahi),
         )
         alo, ahi = K._condsub(alo, ahi, 2 * q)
         return K._condsub(alo, ahi, q)
@@ -158,17 +190,15 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
         def inv_lane(s, c):
             alo, ahi = c
             t = I32(1) << s
-            return _stage_any(
-                alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q,
-                K._gs_butterfly,
+            return _gs_stage(
+                alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q
             )
 
         def inv_row(s, c):
             alo, ahi = c
             tr = (I32(1) << s) // I32(LANES)
-            return _stage_any(
-                alo, ahi, s, tr, row_ids, 1, I32(rows), tbl, q,
-                K._gs_butterfly,
+            return _gs_stage(
+                alo, ahi, s, tr, row_ids, 1, I32(rows), tbl, q
             )
 
         alo, ahi = _fori(0, log_lanes, inv_lane, (alo, ahi))

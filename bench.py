@@ -61,46 +61,60 @@ def _bench():
     from aloha_tpu.config import DEFAULT_CONFIG as CFG
 
     smoke = bool(os.environ.get("ALOHA_BENCH_SMOKE"))
-    batch = 16 if smoke else 256
-    iters = 3 if smoke else 20
+    batch = 16 if smoke else 512
+    iters = 3 if smoke else 24
     n = CFG.n
     q, psi = CFG.moduli[0], CFG.psi[0]
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 
-    # Prefer the Pallas kernel when available on this backend; fall back to
-    # the XLA graph path (including on kernel-compile failure).
+    # Prefer the streaming single-launch kernel, then the grid kernel,
+    # then the XLA graph path (falling through on kernel-compile failure).
     impl = "xla"
     fn = jax.jit(lambda v: ntt_jax.ntt(v, q, psi))
     try:
-        from aloha_tpu.ops import ntt_pallas
+        from aloha_tpu.ops import ntt_pallas, ntt_stream
 
         if os.environ.get("ALOHA_BENCH_XLA_ONLY"):
             raise RuntimeError("xla-only fallback requested")
         if ntt_pallas.available():
-            pfn = jax.jit(lambda v: ntt_pallas.ntt(v, q, psi))
-            pfn(x).block_until_ready()
-            fn, impl = pfn, "pallas"
+            os.environ.setdefault("ALOHA_STREAM_BP", "4")
+            try:
+                sfn = jax.jit(lambda v: ntt_stream.ntt(v, q, psi))
+                sfn(x).block_until_ready()
+                fn, impl = sfn, "stream"
+            except Exception as e:
+                print(f"# stream kernel unavailable ({type(e).__name__}); "
+                      "grid kernel", file=sys.stderr)
+                pfn = jax.jit(lambda v: ntt_pallas.ntt(v, q, psi))
+                pfn(x).block_until_ready()
+                fn, impl = pfn, "pallas"
     except Exception as e:  # pragma: no cover
-        print(f"# pallas kernel unavailable ({type(e).__name__}); xla path",
+        print(f"# pallas kernels unavailable ({type(e).__name__}); xla path",
               file=sys.stderr)
 
-    # Timing protocol: chain iterations (each input = previous output) and
-    # end with a scalar host readback.  On hosted/tunneled TPU backends
-    # block_until_ready() can return before device completion and report
+    # Timing protocol: the WHOLE chain of data-dependent iterations is one
+    # jitted program (one host->device dispatch per trial — the tunneled
+    # backend costs ~30 ms per dispatch, which would otherwise dominate),
+    # ended by a scalar host readback.  block_until_ready() alone can
+    # return before device completion on this backend and report
     # physically impossible rates; data-dependence + readback is honest.
-    out = fn(x)
-    _ = np.asarray(out[0, 0])  # warm: compile fn and the readback slice
+    def chain(v):
+        for _ in range(iters):
+            v = fn(v)
+        return v
+
+    cfn = jax.jit(chain)
+    out = cfn(x)
+    _ = np.asarray(out[0, 0])  # warm: compile and the readback slice
     best = 0.0
     for _trial in range(3):
-        out = x
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(out)
+        out = cfn(x)
         _ = np.asarray(out[0, 0])
-        dt = (time.perf_counter() - t0) / iters
-        best = max(best, batch / dt)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
     ntts_per_sec = best
 
     print(
