@@ -3,11 +3,13 @@
 TPUs have no 64-bit vector lanes; the round-1 `he_jax` path carried
 uint64 arrays and paid XLA's u64 emulation plus a u32 pack/unpack around
 every Pallas kernel call.  This module keeps ciphertexts in the kernels'
-native representation end-to-end — packed u32 planes, shape
-(..., L, N, 2) with [..., 0] = low and [..., 1] = high word — so
+native representation end-to-end: a polynomial group is a pair of
+separate uint32 arrays `(lo, hi)` of identical shape (..., L, N).
+Separate arrays — not a packed trailing (..., 2) axis — so every array
+keeps N as its minor dimension and tiles onto the (8, 128) vreg layout;
 elementwise ops are pure u32 vector arithmetic (aloha_tpu.rns_jax, the
-same primitives the kernels inline) and the streaming NTT consumes its
-input without conversion.  Semantics are bit-identical to he_jax/he_np
+same primitives the kernels inline) and the streaming NTT consumes the
+planes without conversion.  Semantics are bit-identical to he_jax/he_np
 (certified by tests/test_he_planes.py).
 
 The reference analogue: the SPM stores 64-bit coefficients as what are
@@ -16,6 +18,8 @@ architectural (reference: src/mem_buf/spm.sv, src/vp/vxu/mul64.sv).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,19 +32,18 @@ from aloha_tpu.ops.ntt_pallas import LANES
 
 
 # ------------------------------------------------------------- conversion
-def from_u64(a) -> jnp.ndarray:
-    """uint64 (..., N) -> packed planes (..., N, 2) uint32."""
+def from_u64(a):
+    """uint64 (..., N) -> (lo, hi) uint32 planes."""
     a = jnp.asarray(a, dtype=jnp.uint64)
     lo = (a & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = (a >> jnp.uint64(32)).astype(jnp.uint32)
-    return jnp.stack([lo, hi], axis=-1)
+    return lo, hi
 
 
 def to_u64(p) -> jnp.ndarray:
-    """packed planes (..., N, 2) -> uint64 (..., N)."""
-    return p[..., 0].astype(jnp.uint64) | (
-        p[..., 1].astype(jnp.uint64) << jnp.uint64(32)
-    )
+    """(lo, hi) planes -> uint64 (..., N)."""
+    lo, hi = p
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
 
 
 # ------------------------------------------------------------ transforms
@@ -53,20 +56,19 @@ def _use_stream() -> bool:
 
 
 def _nt(p, q: int, root: int, inverse: bool):
-    """NTT/INTT over the last coefficient axis of packed planes."""
-    n = p.shape[-2]
+    """NTT/INTT over the last coefficient axis of (lo, hi) planes."""
+    lo, hi = p
+    n = lo.shape[-1]
     if _use_stream():
         from aloha_tpu.ops import ntt_stream
 
-        batch = p.shape[:-2]
+        batch = lo.shape[:-1]
         nb = int(np.prod(batch)) if batch else 1
-        lo = p[..., 0].reshape(nb, n // LANES, LANES)
-        hi = p[..., 1].reshape(nb, n // LANES, LANES)
+        l3 = lo.reshape(nb, n // LANES, LANES)
+        h3 = hi.reshape(nb, n // LANES, LANES)
         fn = ntt_stream.intt_planes if inverse else ntt_stream.ntt_planes
-        olo, ohi = fn(lo, hi, q, root)
-        return jnp.stack(
-            [olo.reshape(batch + (n,)), ohi.reshape(batch + (n,))], axis=-1
-        )
+        olo, ohi = fn(l3, h3, q, root)
+        return olo.reshape(batch + (n,)), ohi.reshape(batch + (n,))
     # portable path: exact same results through the u64 dispatcher
     a = to_u64(p)
     out = nt_dispatch.intt(a, q, root) if inverse else nt_dispatch.ntt(
@@ -75,84 +77,125 @@ def _nt(p, q: int, root: int, inverse: bool):
     return from_u64(out)
 
 
-def automorphism(p, step, q: int):
-    """X -> X^step with the RTL sign rule (`q - x`), on packed planes
+@functools.lru_cache(maxsize=None)
+def _aut_maps(n: int, step: int):
+    """Static gather index + sign mask for X -> X^step (step a python int).
+
+    The scatter form (out[dst[i]] = ...) lowers poorly on TPU; with a
+    static step the inverse permutation is computed on the host and the
+    op becomes one gather + one select."""
+    i = np.arange(n, dtype=np.int64)
+    j = (i * step) & (2 * n - 1)
+    dst = j & (n - 1)
+    src = np.empty(n, dtype=np.int32)
+    src[dst] = i
+    neg = np.zeros(n, dtype=bool)
+    neg[dst] = j >= n
+    return jnp.asarray(src), jnp.asarray(neg)
+
+
+def automorphism(p, step: int, q: int):
+    """X -> X^step with the RTL sign rule (`q - x`), on (lo, hi) planes
     (coefficient domain; reference: src/vp/vxu/vxu_lane.sv:594-598)."""
-    n = p.shape[-2]
-    i = jnp.arange(n, dtype=jnp.uint32)
-    j = (i * jnp.asarray(step, jnp.uint32)) & jnp.uint32(2 * n - 1)
-    dst = (j & jnp.uint32(n - 1)).astype(jnp.int32)
-    neg = (j >= jnp.uint32(n))[..., None]
+    lo, hi = p
+    n = lo.shape[-1]
+    src, neg = _aut_maps(n, int(step))
+    glo = jnp.take(lo, src, axis=-1)
+    ghi = jnp.take(hi, src, axis=-1)
     # literal q - x including x = 0 -> q, as the RTL writes it
     qlo, qhi = r32.const64(q)
     qmx_lo, qmx_hi = r32.sub64(
-        jnp.broadcast_to(qlo, p[..., 0].shape),
-        jnp.broadcast_to(qhi, p[..., 1].shape),
-        p[..., 0],
-        p[..., 1],
+        jnp.broadcast_to(qlo, glo.shape),
+        jnp.broadcast_to(qhi, ghi.shape),
+        glo,
+        ghi,
     )
-    qmx = jnp.stack([qmx_lo, qmx_hi], axis=-1)
-    vals = jnp.where(neg, qmx, p)
-    return jnp.zeros_like(p).at[..., dst, :].set(vals)
+    return jnp.where(neg, qmx_lo, glo), jnp.where(neg, qmx_hi, ghi)
+
+
+# ---------------------------------------------------------- op helpers
+def _stackp(ps, axis):
+    los, his = zip(*ps)
+    return jnp.stack(los, axis=axis), jnp.stack(his, axis=axis)
+
+
+def _slicep(p, idx, axis=-2):
+    lo, hi = p
+    return jnp.take(lo, idx, axis=axis), jnp.take(hi, idx, axis=axis)
+
+
+def _limb(p, m):
+    lo, hi = p
+    return lo[..., m, :], hi[..., m, :]
 
 
 # ------------------------------------------------------------ public ops
-def _per_limb(fn, a, b, moduli):
-    outs = [fn(a[..., i, :, :], b[..., i, :, :], q) for i, q in enumerate(moduli)]
-    return jnp.stack(outs, axis=-3)
+def _per_limb2(op64, a, b, moduli):
+    outs = [
+        op64(*_limb(a, i), *_limb(b, i), q) for i, q in enumerate(moduli)
+    ]
+    return _stackp(outs, -2)
 
 
 def hom_add(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
-    """(a1+a2, b1+b2) limb-wise on packed planes (..., L, N, 2)."""
+    """(a1+a2, b1+b2) limb-wise; cts are ((alo, ahi), (blo, bhi)) with
+    arrays shaped (..., L, N)."""
     moduli = cfg.moduli[: cfg.n_limbs]
     return (
-        _per_limb(r32.addmod, ct1[0], ct2[0], moduli),
-        _per_limb(r32.addmod, ct1[1], ct2[1], moduli),
+        _per_limb2(r32.addmod64, ct1[0], ct2[0], moduli),
+        _per_limb2(r32.addmod64, ct1[1], ct2[1], moduli),
     )
 
 
 def mul_plain(ct, pt, cfg: HEConfig = DEFAULT_CONFIG):
-    """(a*pt, b*pt) limb-wise pointwise (NTT domain), packed planes."""
+    """(a*pt, b*pt) limb-wise pointwise (NTT domain)."""
     moduli = cfg.moduli[: cfg.n_limbs]
     return (
-        _per_limb(r32.mulmod, ct[0], pt, moduli),
-        _per_limb(r32.mulmod, ct[1], pt, moduli),
+        _per_limb2(r32.mulmod64, ct[0], pt, moduli),
+        _per_limb2(r32.mulmod64, ct[1], pt, moduli),
     )
 
 
 def encode_post(pt_coeff, cfg: HEConfig = DEFAULT_CONFIG):
     outs = [
-        _nt(pt_coeff[..., i, :, :], cfg.moduli[i], cfg.psi[i], False)
+        _nt(_limb(pt_coeff, i), cfg.moduli[i], cfg.psi[i], False)
         for i in range(cfg.n_limbs)
     ]
-    return jnp.stack(outs, axis=-3)
+    return _stackp(outs, -2)
 
 
 def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
-    """Slot rotation (automorphism + hybrid key-switch) on packed planes.
+    """Slot rotation (automorphism + hybrid key-switch) on (lo, hi) planes.
 
-    ksk: (2L(L+1), N, 2) packed planes, reference layout (use
+    ksk: (lo, hi) planes of the (2L(L+1), N) reference layout (use
     `from_u64(ksk_u64)`); see he_np.rotate for the algorithm and the
     keyswitch.mem correspondence.
     """
     a, b = ct
-    n = a.shape[-2]
+    n = a[0].shape[-1]
     step_exp = pow(3, step, 2 * n)
     moduli = cfg.moduli
     L = cfg.n_limbs
     sp = cfg.special_prime
     half = (sp - 1) // 2
+    klo, khi = ksk
 
     digits, a_aut = [], []
     for m in range(L):
         pair = _nt(
-            jnp.stack([b[..., m, :, :], a[..., m, :, :]], axis=-3),
-            moduli[m],
-            cfg.ipsi[m],
-            True,
+            _stackp([_limb(b, m), _limb(a, m)], -2), moduli[m],
+            cfg.ipsi[m], True,
         )
-        digits.append(automorphism(pair[..., 0, :, :], step_exp, moduli[m]))
-        a_aut.append(automorphism(pair[..., 1, :, :], step_exp, moduli[m]))
+        digits.append(
+            automorphism(
+                (pair[0][..., 0, :], pair[1][..., 0, :]), step_exp, moduli[m]
+            )
+        )
+        a_aut.append(
+            automorphism(
+                (pair[0][..., 1, :], pair[1][..., 1, :]), step_exp, moduli[m]
+            )
+        )
 
     nd = [[None] * (L + 1) for _ in range(L)]
     for m in range(L + 1):
@@ -161,40 +204,58 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
             if m == j:
                 x = d
             elif moduli[m] > moduli[j]:
-                x = r32.lazy_reduce(d, moduli[m])
+                x = r32.lazy_reduce64(*d, moduli[m])
             else:
-                x = r32.modred(d, moduli[m])
+                x = r32.modred64(*d, moduli[m])
             polys.append(x)
         if m < L:
             polys.append(a_aut[m])
-        stacked = _nt(
-            jnp.stack(polys, axis=-3), moduli[m], cfg.psi[m], False
+        slo, shi = _nt(
+            _stackp(polys, -2), moduli[m], cfg.psi[m], False
         )
         for j in range(L):
-            nd[j][m] = stacked[..., j, :, :]
+            nd[j][m] = (slo[..., j, :], shi[..., j, :])
         if m < L:
-            a_aut[m] = stacked[..., L, :, :]
+            a_aut[m] = (slo[..., L, :], shi[..., L, :])
 
     stride = 2 * L
 
+    def kk(idx):
+        return klo[idx], khi[idx]
+
     def inner(m, part):
         q = moduli[m]
-        acc = r32.mulmod(nd[0][m], ksk[stride * m + part], q)
+        acc = r32.mulmod64(*nd[0][m], *kk(stride * m + part), q)
         for j in range(1, L):
-            acc = r32.addmod(
-                acc,
-                r32.mulmod(nd[j][m], ksk[stride * m + 2 * j + part], q),
+            acc = r32.addmod64(
+                *acc,
+                *r32.mulmod64(*nd[j][m], *kk(stride * m + 2 * j + part), q),
                 q,
             )
         return acc
 
     c = [[inner(m, part) for part in (0, 1)] for m in range(L + 1)]
 
-    p_pair = _nt(
-        jnp.stack([c[L][0], c[L][1]], axis=-3), sp, cfg.ipsi[-1], True
-    )
+    p_pair = _nt(_stackp([c[L][0], c[L][1]], -2), sp, cfg.ipsi[-1], True)
+
+    def _addc(p, v, q):
+        vlo, vhi = r32.const64(v)
+        lo, hi = p
+        return r32.addmod64(
+            lo, hi, jnp.broadcast_to(vlo, lo.shape),
+            jnp.broadcast_to(vhi, hi.shape), q,
+        )
+
+    def _subc(p, v, q):
+        vlo, vhi = r32.const64(v)
+        lo, hi = p
+        return r32.submod64(
+            lo, hi, jnp.broadcast_to(vlo, lo.shape),
+            jnp.broadcast_to(vhi, hi.shape), q,
+        )
+
     m_coeff = [
-        r32.addmod_scalar(p_pair[..., part, :, :], half, sp)
+        _addc((p_pair[0][..., part, :], p_pair[1][..., part, :]), half, sp)
         for part in (0, 1)
     ]
     ks = [[None, None] for _ in range(L)]
@@ -202,21 +263,21 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
         q = moduli[m]
         pinv = cfg.pinv_mod(m)
         corr2 = _nt(
-            jnp.stack(
-                [r32.submod_scalar(m_coeff[p], half, q) for p in (0, 1)],
-                axis=-3,
-            ),
-            q,
-            cfg.psi[m],
-            False,
+            _stackp([_subc(m_coeff[p], half, q) for p in (0, 1)], -2),
+            q, cfg.psi[m], False,
         )
+        pvlo, pvhi = r32.const64(pinv)
         for part in (0, 1):
-            t = r32.submod(c[m][part], corr2[..., part, :, :], q)
-            ks[m][part] = r32.mulmod_scalar(t, pinv, q)
+            t = r32.submod64(
+                *c[m][part], corr2[0][..., part, :], corr2[1][..., part, :], q
+            )
+            ks[m][part] = r32.mulmod64(
+                *t, jnp.broadcast_to(pvlo, t[0].shape),
+                jnp.broadcast_to(pvhi, t[1].shape), q,
+            )
 
-    a_rot = jnp.stack(
-        [r32.addmod(a_aut[m], ks[m][0], moduli[m]) for m in range(L)],
-        axis=-3,
+    a_rot = _stackp(
+        [r32.addmod64(*a_aut[m], *ks[m][0], moduli[m]) for m in range(L)], -2
     )
-    b_rot = jnp.stack([ks[m][1] for m in range(L)], axis=-3)
+    b_rot = _stackp([ks[m][1] for m in range(L)], -2)
     return (a_rot, b_rot)

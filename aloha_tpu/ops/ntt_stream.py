@@ -65,29 +65,63 @@ def _roll(a, t, axis):
     return pltpu.roll(a, t, axis)
 
 
+def _mul64_hi_sloppy(alo, ahi, blo, bhi):
+    """hi64(a*b) with error in {0, -1, -2}: skips the low*low product and
+    the low-limb carry assembly (Harvey's quotient estimate tolerates it;
+    the butterfly window widens from [0,4q) to [0,8q) to absorb the
+    up-to-2q overshoot — 8q < 2^63 for 60-bit moduli)."""
+    h00, _l00 = r32.mul32_wide(alo, blo)  # need only the high half
+    h01, l01 = r32.mul32_wide(alo, bhi)
+    h10, l10 = r32.mul32_wide(ahi, blo)
+    h11, l11 = r32.mul32_wide(ahi, bhi)
+    # limb1 ~ h00 + l01 + l10 (its carry into limb2 is kept; the carry
+    # *into* limb1 from limb0 is the dropped term)
+    s1 = h00 + l01
+    c1 = (s1 < h00).astype(np.uint32)
+    p1 = s1 + l10
+    c1 = c1 + (p1 < s1).astype(np.uint32)
+    s2 = h01 + h10
+    c2 = (s2 < h01).astype(np.uint32)
+    p2 = s2 + l11
+    c2 = c2 + (p2 < s2).astype(np.uint32)
+    p2c = p2 + c1
+    c2 = c2 + (p2c < p2).astype(np.uint32)
+    return p2c, h11 + c2
+
+
+def _shoup_mul_sloppy(vlo, vhi, wlo, whi, slo, shi, q: int):
+    """x*w mod q with the sloppy quotient: output in [0, 4q)."""
+    t_lo, t_hi = _mul64_hi_sloppy(vlo, vhi, slo, shi)
+    xw_lo, xw_hi = r32.mul64_lo(vlo, vhi, wlo, whi)
+    tq_lo, tq_hi = r32.mul64_lo(t_lo, t_hi, *r32.const64(q))
+    return r32.sub64(xw_lo, xw_hi, tq_lo, tq_hi)
+
+
 def _ct_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     """One forward (Harvey CT) stage with traced distance t along `axis`.
 
     Roll-the-outputs formulation — 4 rolls and 2 selects per stage instead
-    of the naive 8 rolls and 12 selects: with x' = condsub(x, 2q) and
-    y = w*x (Shoup, < 2q; the twiddle of partners is identical, a property
-    of the psi^bitrev tables), the butterfly is
+    of the naive 8 rolls and 12 selects: with x' = condsub(x, 4q) and
+    y = w*x (sloppy Shoup, < 4q; the twiddle of partners is identical, a
+    property of the psi^bitrev tables), the butterfly is
 
-        out = bit ? roll(x', +t) + (2q - y)    # u' + 2q - w v
+        out = bit ? roll(x', +t) + (4q - y)    # u' + 4q - w v
               :     x' + roll(y, -t)           # u' + w v
+
+    Values ride in [0, 8q) between stages (< 2^63 for 60-bit moduli).
 
     Data is (bp, rows, LANES); twiddle rows (1, rows, LANES) broadcast
     inside the ops."""
     bit = (ids & t) != 0
     wl, wh, sl, sh = (ref[s][None] for ref in tbl)
-    xplo, xphi = K._condsub(alo, ahi, 2 * q)
-    ylo, yhi = K._shoup_mul(alo, ahi, wl, wh, sl, sh, q)
+    xplo, xphi = K._condsub(alo, ahi, 4 * q)
+    ylo, yhi = _shoup_mul_sloppy(alo, ahi, wl, wh, sl, sh, q)
     # top = x' + y[i + t]
     tlo, thi = r32.add64(
         xplo, xphi, _roll(ylo, size - t, axis), _roll(yhi, size - t, axis)
     )
-    # bottom = x'[i - t] + (2q - y)
-    zlo, zhi = r32.sub64(*r32.const64(2 * q), ylo, yhi)
+    # bottom = x'[i - t] + (4q - y)
+    zlo, zhi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
     blo, bhi = r32.add64(
         _roll(xplo, t, axis), _roll(xphi, t, axis), zlo, zhi
     )
@@ -97,20 +131,23 @@ def _ct_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
 def _gs_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     """One inverse (lazy GS) stage with traced distance t along `axis`:
 
-        out = bit ? halfq(w * (x[i-t] - x + 2q))   # ((u - v) w)/2
+        out = bit ? halfq(w * (x[i-t] - x + 4q))   # ((u - v) w)/2
               :     halfq(condsub(x + x[i+t], 2q)) # (u + v)/2
-    """
+
+    Sloppy-quotient window: values ride in [0, 2.5q) between stages
+    (sum path < 2q after condsub+halve; diff path: sloppy product < 4q,
+    halved < 2.5q); the 4q offset keeps u - v positive."""
     bit = (ids & t) != 0
     wl, wh, sl, sh = (ref[s][None] for ref in tbl)
-    # sum path (valid at bit = 0)
+    # sum path (valid at bit = 0): x + p < 5q, condsub -> < 3q, halve -> < 2q
     slo_, shi_ = r32.add64(
         alo, ahi, _roll(alo, size - t, axis), _roll(ahi, size - t, axis)
     )
     s0lo, s0hi = K._halfq(*K._condsub(slo_, shi_, 2 * q), q)
-    # diff path (valid at bit = 1): u - v + 2q = x[i-t] - x + 2q
-    dlo, dhi = r32.sub64(*r32.const64(2 * q), alo, ahi)
+    # diff path (valid at bit = 1): u - v + 4q = x[i-t] - x + 4q in (0, 6.5q)
+    dlo, dhi = r32.sub64(*r32.const64(4 * q), alo, ahi)
     dlo, dhi = r32.add64(_roll(alo, t, axis), _roll(ahi, t, axis), dlo, dhi)
-    wvlo, wvhi = K._shoup_mul(dlo, dhi, wl, wh, sl, sh, q)
+    wvlo, wvhi = _shoup_mul_sloppy(dlo, dhi, wl, wh, sl, sh, q)
     s1lo, s1hi = K._halfq(wvlo, wvhi, q)
     return jnp.where(bit, s1lo, s0lo), jnp.where(bit, s1hi, s0hi)
 
@@ -181,6 +218,8 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
             log_rows, logn,
             lambda s, c: lane_stage(s, c, _ct_stage), (alo, ahi),
         )
+        # canonicalize: the sloppy-quotient window is [0, 8q)
+        alo, ahi = K._condsub(alo, ahi, 4 * q)
         alo, ahi = K._condsub(alo, ahi, 2 * q)
         return K._condsub(alo, ahi, q)
 
@@ -203,6 +242,8 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
 
         alo, ahi = _fori(0, log_lanes, inv_lane, (alo, ahi))
         alo, ahi = _fori(log_lanes, logn, inv_row, (alo, ahi))
+        # canonicalize from the sloppy window [0, 2.5q)
+        alo, ahi = K._condsub(alo, ahi, 2 * q)
         return K._condsub(alo, ahi, q)
 
     return forward, inverse

@@ -32,8 +32,19 @@ import numpy as np  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 from aloha_tpu import he_np, keys  # noqa: E402
-from aloha_tpu.config import DEFAULT_CONFIG as CFG  # noqa: E402
+from aloha_tpu.config import DEFAULT_CONFIG, HEConfig  # noqa: E402
 from aloha_tpu.parallel.keyswitch_sharded import rotate_sharded  # noqa: E402
+
+# small ring (same code path, fast XLA CPU compiles): psi^(N/n) is a
+# primitive 2n-th root
+_C = DEFAULT_CONFIG
+_k = _C.n // 1024
+CFG = HEConfig(
+    n=1024,
+    moduli=_C.moduli,
+    psi=tuple(pow(p, _k, q) for p, q in zip(_C.psi, _C.moduli)),
+    ipsi=tuple(pow(ip, _k, q) for ip, q in zip(_C.ipsi, _C.moduli)),
+)
 
 mesh = multihost.pod_mesh(axis_names=("dp", "digit"), dp=4)
 assert mesh.shape["digit"] == CFG.n_limbs
@@ -50,8 +61,6 @@ sk = keys.gen_secret(CFG, rng=np.random.default_rng(1))
 ksk = keys.gen_rotation_key(sk, step, CFG, rng=np.random.default_rng(2))
 
 ct_spec = NamedSharding(mesh, P("dp", "digit", None))
-ksk_spec = NamedSharding(mesh, P(None, None, "digit", None))
-ksk4 = ksk.reshape(L + 1, L, 2, n).transpose(0, 2, 1, 3)
 
 
 def from_global(spec, arr):
@@ -62,7 +71,9 @@ def from_global(spec, arr):
 
 ga = from_global(ct_spec, a)
 gb = from_global(ct_spec, b)
-gk = from_global(ksk_spec, ksk4)
+# rotate_sharded takes the raw reference-layout KSK and regroups it
+# internally; pass it replicated (it is identical in every process)
+gk = from_global(NamedSharding(mesh, P(None, None)), ksk)
 out_a, out_b = rotate_sharded((ga, gb), step, gk, mesh, CFG)
 
 # golden: per-batch NumPy rotate
