@@ -32,12 +32,12 @@ res = {}
 for K in (1, 4):
     f = jax.jit(lambda x, y, K=K: chain(x, y, K))
     r = f(pa, pb)
-    _ = np.asarray(r[0][0, 0, 0, 0])
+    _ = np.asarray(r[0][0][0, 0, 0])
     times = []
     for _i in range(5):
         t0 = time.perf_counter()
         r = f(pa, pb)
-        _ = np.asarray(r[0][0, 0, 0, 0])
+        _ = np.asarray(r[0][0][0, 0, 0])
         times.append(time.perf_counter() - t0)
     res[K] = min(times)
     print(f"K={K}: min {res[K]*1e3:.1f} ms over {sorted(round(t*1e3) for t in times)}", flush=True)
