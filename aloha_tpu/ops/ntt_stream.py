@@ -322,27 +322,29 @@ def _stream_body(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("q", "root", "inverse", "n", "bp", "nchunks")
-)
 def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
+    # NOT nested-jitted: a nested jit whose body flips jax.enable_x64
+    # leaks tracers across trace contexts when inlined into an outer jit
+    # (observed as UnexpectedTracerError from rotation graphs); invoked
+    # plainly, the pallas_call traces its kernel body in its own scope
+    # exactly like the grid kernel's host wrapper.
     rows = n // LANES
     tables = [jnp.asarray(t) for t in K._tables_np(n, root, q, inverse)]
     body = functools.partial(_stream_body, inverse, q, nchunks, bp, rows)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    # the kernel body must trace with x64 disabled (x64 tracing of the
+    # in-kernel loop counters trips a JAX promotion recursion)
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
             in_specs=[vmem] * 4 + [hbm] * 2,
             out_specs=[hbm] * 2,
-            out_shape=[
-                jax.ShapeDtypeStruct(alo.shape, jnp.uint32)
-            ] * 2,
+            out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
-                # the default 16 MiB scoped-vmem budget forces spills with
-                # chunked double-buffering; v5e has far more physical VMEM
+                # the default 16 MiB scoped-vmem budget forces spills
+                # with chunked double-buffering; v5e has far more VMEM
                 vmem_limit_bytes=int(
                     os.environ.get("ALOHA_STREAM_VMEM", str(100 * 2**20))
                 ),
