@@ -4,11 +4,11 @@
 set -u
 cd /root/repo
 echo "== stream_test (bit-exactness) =="
-timeout 560 python tools/stream_test.py 16 2>&1 | grep -v WARNING | head -4
+timeout -k 10 560 python tools/stream_test.py 16 2>&1 | grep -v WARNING | head -4
 echo "== stream marginal (BP=4) =="
-ALOHA_STREAM_BP=4 timeout 560 python tools/stream_marginal.py 2>&1 | grep -v WARNING | tail -1
+ALOHA_STREAM_BP=4 timeout -k 10 560 python tools/stream_marginal.py 2>&1 | grep -v WARNING | tail -1
 echo "== bench.py =="
-timeout 900 python bench.py 2>&1 | grep -v WARNING | tail -2
+timeout -k 10 900 python bench.py 2>&1 | grep -v WARNING | tail -2
 echo "== rotate bench (B=16) =="
-B=16 timeout 1500 python tools/bench_rotate.py 2>&1 | grep -v WARNING | tail -4
+B=16 timeout -k 10 1500 python tools/bench_rotate.py 2>&1 | grep -v WARNING | tail -4
 echo "== done =="
