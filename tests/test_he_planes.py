@@ -57,3 +57,23 @@ def test_rotate(data):
     want = he_np.rotate(he_np.Ciphertext(a=a.copy(), b=b.copy()), 2, ksk, CFG)
     assert np.array_equal(np.asarray(he_planes.to_u64(out[0])), want.a)
     assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
+
+
+def test_batched_rotate_matches_per_ct(data):
+    """Batch axis polymorphism: a (B, L, N) batch rotates identically to
+    per-ciphertext calls (the TPU-native throughput story)."""
+    rng = np.random.default_rng(9)
+    B = 3
+    a = rng.integers(0, CFG.moduli[0], size=(B, L, N), dtype=np.uint64)
+    b = rng.integers(0, CFG.moduli[0], size=(B, L, N), dtype=np.uint64)
+    _, _, _, ksk = data
+    ct = (he_planes.from_u64(a), he_planes.from_u64(b))
+    out = he_planes.rotate(ct, 2, he_planes.from_u64(ksk), CFG)
+    oa = np.asarray(he_planes.to_u64(out[0]))
+    ob = np.asarray(he_planes.to_u64(out[1]))
+    for i in range(B):
+        want = he_np.rotate(
+            he_np.Ciphertext(a=a[i].copy(), b=b[i].copy()), 2, ksk, CFG
+        )
+        assert np.array_equal(oa[i], want.a)
+        assert np.array_equal(ob[i], want.b)
