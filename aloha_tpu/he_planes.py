@@ -91,7 +91,10 @@ def _aut_maps(n: int, step: int):
     src[dst] = i
     neg = np.zeros(n, dtype=bool)
     neg[dst] = j >= n
-    return jnp.asarray(src), jnp.asarray(neg)
+    # return NUMPY arrays: converting to jnp here would cache a tracer
+    # when first called under a jit trace (UnexpectedTracerError on the
+    # next trace); consumers stage these as per-trace constants
+    return src, neg
 
 
 def automorphism(p, step: int, q: int):
