@@ -61,8 +61,8 @@ def _bench():
     from aloha_tpu.config import DEFAULT_CONFIG as CFG
 
     smoke = bool(os.environ.get("ALOHA_BENCH_SMOKE"))
-    batch = 16 if smoke else 512
-    iters = 3 if smoke else 24
+    batch = 16 if smoke else int(os.environ.get("ALOHA_BENCH_BATCH", "1024"))
+    iters = 3 if smoke else int(os.environ.get("ALOHA_BENCH_ITERS", "64"))
     n = CFG.n
     q, psi = CFG.moduli[0], CFG.psi[0]
 
@@ -130,7 +130,7 @@ def _bench():
     out = cfn(xr)
     _ = np.asarray(jax.tree.leaves(out)[0][(0,) * jax.tree.leaves(out)[0].ndim])
     best = 0.0
-    for _trial in range(3):
+    for _trial in range(4):
         t0 = time.perf_counter()
         out = cfn(xr)
         leaf = jax.tree.leaves(out)[0]
