@@ -26,7 +26,8 @@ def main():
     # under a hard timeout, falling back to the XLA path so this script
     # ALWAYS prints its metric line.
     if "--child" not in sys.argv and not os.environ.get("ALOHA_BENCH_NO_FORK"):
-        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "480"))
+        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "600"))
+        stdout = ""
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
@@ -35,15 +36,22 @@ def main():
                 timeout=budget,
                 env={**os.environ, "ALOHA_BENCH_NO_FORK": "1"},
             )
-            for line in out.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    return 0
-        except subprocess.TimeoutExpired:
-            print(
-                "# pallas bench child timed out; falling back to xla path",
-                file=sys.stderr,
-            )
+            stdout = out.stdout
+        except subprocess.TimeoutExpired as e:
+            # the child prints a metric line per tier as soon as it has
+            # one — salvage whatever it managed before the budget hit
+            stdout = e.stdout or ""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            print("# pallas bench child timed out; using best tier so far",
+                  file=sys.stderr)
+        best_line = None
+        for line in stdout.splitlines():
+            if line.startswith("{"):
+                best_line = line
+        if best_line:
+            print(best_line)
+            return 0
         os.environ["ALOHA_BENCH_XLA_ONLY"] = "1"
     return _bench()
 
@@ -120,35 +128,83 @@ def _bench():
     # ended by a scalar host readback.  block_until_ready() alone can
     # return before device completion on this backend and report
     # physically impossible rates; data-dependence + readback is honest.
-    def chain(v):
-        for _ in range(iters):
-            v = fn(v)
-        return v
+    def measure(k):
+        """Best-of-4 rate for a k-long data-dependent chain (one jitted
+        program = one dispatch; scalar readback forces completion)."""
+        def chain(v):
+            for _ in range(k):
+                v = fn(v)
+            return v
 
-    cfn = jax.jit(chain)
-    xr = jax.block_until_ready(jax.jit(to_rep)(x))
-    out = cfn(xr)
-    _ = np.asarray(jax.tree.leaves(out)[0][(0,) * jax.tree.leaves(out)[0].ndim])
-    best = 0.0
-    for _trial in range(4):
-        t0 = time.perf_counter()
+        cfn = jax.jit(chain)
         out = cfn(xr)
         leaf = jax.tree.leaves(out)[0]
-        _ = np.asarray(leaf[(0,) * leaf.ndim])  # scalar host readback
-        dt = time.perf_counter() - t0
-        best = max(best, batch * iters / dt)
-    ntts_per_sec = best
+        _ = np.asarray(leaf[(0,) * leaf.ndim])
+        best = 0.0
+        for _trial in range(4):
+            t0 = time.perf_counter()
+            out = cfn(xr)
+            leaf = jax.tree.leaves(out)[0]
+            _ = np.asarray(leaf[(0,) * leaf.ndim])
+            dt = time.perf_counter() - t0
+            best = max(best, batch * k / dt)
+        return best
 
-    print(
-        json.dumps(
-            {
-                "metric": f"ntt{n}_throughput_{impl}",
-                "value": round(ntts_per_sec, 1),
-                "unit": "NTT/s/chip",
-                "vs_baseline": round(ntts_per_sec / 1e6, 4),
-            }
+    def emit(rate):
+        print(
+            json.dumps(
+                {
+                    "metric": f"ntt{n}_throughput_{impl}",
+                    "value": round(rate, 1),
+                    "unit": "NTT/s/chip",
+                    "vs_baseline": round(rate / 1e6, 4),
+                }
+            ),
+            flush=True,
         )
-    )
+
+    xr = jax.block_until_ready(jax.jit(to_rep)(x))
+    # rung 1: short chain (fast compile) secures a metric line early;
+    # rung 2: the long chain amortizes the ~30 ms tunnel dispatch fully.
+    ntts_per_sec = measure(min(8, iters))
+    emit(ntts_per_sec)
+    if iters > 8 and not smoke:
+        ntts_per_sec = max(ntts_per_sec, measure(iters))
+
+    emit(ntts_per_sec)
+
+    # tier 2: the fastest known kernel configuration (full lowering-time
+    # unroll, 16 polys per chunk) compiles in minutes when the remote
+    # service is warm; if it lands, its metric line supersedes tier 1
+    if impl == "stream" and not smoke and os.environ.get(
+        "ALOHA_BENCH_TIER2"
+    ):
+        os.environ["ALOHA_STREAM_BP"] = "16"
+        os.environ["ALOHA_STREAM_UNROLL"] = "full"
+        from aloha_tpu.ops import ntt_stream as _ns
+
+        def fn2(p):
+            return _ns.ntt_planes(*p, q, psi)
+
+        def chain2(v):
+            for _ in range(iters):
+                v = fn2(v)
+            return v
+
+        cfn2 = jax.jit(chain2)
+        out = cfn2(xr)
+        leaf = jax.tree.leaves(out)[0]
+        _ = np.asarray(leaf[(0,) * leaf.ndim])
+        best2 = 0.0
+        for _trial in range(4):
+            t0 = time.perf_counter()
+            out = cfn2(xr)
+            leaf = jax.tree.leaves(out)[0]
+            _ = np.asarray(leaf[(0,) * leaf.ndim])
+            dt = time.perf_counter() - t0
+            best2 = max(best2, batch * iters / dt)
+        if best2 > ntts_per_sec:
+            emit(best2)
 
 
 if __name__ == "__main__":
