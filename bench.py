@@ -26,25 +26,36 @@ def main():
     # under a hard timeout, falling back to the XLA path so this script
     # ALWAYS prints its metric line.
     if "--child" not in sys.argv and not os.environ.get("ALOHA_BENCH_NO_FORK"):
-        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "600"))
+        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "780"))
+        # Child stdout goes to a FILE, not a pipe: the remote-compile
+        # plugin spawns helper grandchildren that inherit (and hold open)
+        # a pipe, which deadlocks subprocess.run's timeout reaping.  On
+        # timeout, SIGKILL the child's whole process group and read the
+        # file — the per-tier metric lines printed so far are salvaged.
+        import signal
+        import tempfile
+
         stdout = ""
-        try:
-            out = subprocess.run(
+        with tempfile.TemporaryFile(mode="w+") as fout:
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True,
-                text=True,
-                timeout=budget,
+                stdout=fout,
+                stderr=subprocess.DEVNULL,
                 env={**os.environ, "ALOHA_BENCH_NO_FORK": "1"},
+                start_new_session=True,
             )
-            stdout = out.stdout
-        except subprocess.TimeoutExpired as e:
-            # the child prints a metric line per tier as soon as it has
-            # one — salvage whatever it managed before the budget hit
-            stdout = e.stdout or ""
-            if isinstance(stdout, bytes):
-                stdout = stdout.decode(errors="replace")
-            print("# pallas bench child timed out; using best tier so far",
-                  file=sys.stderr)
+            try:
+                proc.wait(timeout=budget)
+            except subprocess.TimeoutExpired:
+                print("# pallas bench child timed out; best tier so far",
+                      file=sys.stderr)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                proc.wait()
+            fout.seek(0)
+            stdout = fout.read()
         best_line = None
         for line in stdout.splitlines():
             if line.startswith("{"):
@@ -176,8 +187,8 @@ def _bench():
     # tier 2: the fastest known kernel configuration (full lowering-time
     # unroll, 16 polys per chunk) compiles in minutes when the remote
     # service is warm; if it lands, its metric line supersedes tier 1
-    if impl == "stream" and not smoke and os.environ.get(
-        "ALOHA_BENCH_TIER2"
+    if impl == "stream" and not smoke and not os.environ.get(
+        "ALOHA_BENCH_NO_TIER2"
     ):
         os.environ["ALOHA_STREAM_BP"] = "16"
         os.environ["ALOHA_STREAM_UNROLL"] = "full"
