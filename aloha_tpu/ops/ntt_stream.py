@@ -55,6 +55,7 @@ except Exception:  # pragma: no cover
     _OK = False
 
 I32 = jnp.int32
+U32_16 = np.uint32(16)
 
 
 def available() -> bool:
@@ -97,6 +98,88 @@ def _shoup_mul_sloppy(vlo, vhi, wlo, whi, slo, shi, q: int):
     return r32.sub64(xw_lo, xw_hi, tq_lo, tq_hi)
 
 
+_M16 = np.uint32(0xFFFF)
+
+
+def _mul64_hi_limb(alo, ahi, s0, s1, s2, s3):
+    """hi64(a*s) from 16-bit limb planes of s, quotient error in {0, -1}.
+
+    13 multiplies (vs 16 in _mul64_hi_sloppy) with column-sum assembly in
+    u32 accumulators: every 16x16 partial product lands directly in its
+    output column, skipping the mul32_wide pack/carry machinery.  The only
+    dropped term is the carry into column 3 from the low columns (<= 5),
+    which perturbs the quotient by at most 1 — the butterfly window
+    tightens to [0, 3q) per product (verified exhaustively in
+    tools/op_probe.py's CPU check)."""
+    S = np.uint32
+    a0 = alo & _M16
+    a1 = alo >> S(16)
+    a2 = ahi & _M16
+    a3 = ahi >> S(16)
+    p02 = a0 * s2
+    p11 = a1 * s1
+    p20 = a2 * s0
+    p03 = a0 * s3
+    p12 = a1 * s2
+    p21 = a2 * s1
+    p30 = a3 * s0
+    p13 = a1 * s3
+    p22 = a2 * s2
+    p31 = a3 * s1
+    p23 = a2 * s3
+    p32 = a3 * s2
+    p33 = a3 * s3
+    col3 = (
+        (p03 & _M16) + (p12 & _M16) + (p21 & _M16) + (p30 & _M16)
+        + (p02 >> S(16)) + (p11 >> S(16)) + (p20 >> S(16))
+    )
+    col4 = (
+        (p13 & _M16) + (p22 & _M16) + (p31 & _M16)
+        + (p03 >> S(16)) + (p12 >> S(16)) + (p21 >> S(16))
+        + (p30 >> S(16))
+    )
+    col5 = (
+        (p23 & _M16) + (p32 & _M16)
+        + (p13 >> S(16)) + (p22 >> S(16)) + (p31 >> S(16))
+    )
+    col6 = (p33 & _M16) + (p23 >> S(16)) + (p32 >> S(16))
+    col7 = p33 >> S(16)
+    l4 = col4 + (col3 >> S(16))
+    l5 = col5 + (l4 >> S(16))
+    l6 = col6 + (l5 >> S(16))
+    l7 = col7 + (l6 >> S(16))
+    t_lo = (l4 & _M16) | (l5 << S(16))
+    t_hi = (l6 & _M16) | (l7 << S(16))
+    return t_lo, t_hi
+
+
+def _shoup_mul_limb(vlo, vhi, wlo, whi, s0, s1, s2, s3, q: int):
+    """x*w mod q, limb quotient + shift-add t*q: output in [0, 3q).
+
+    The t*q product exploits the sparsity of NTT-friendly moduli
+    (rns_jax.mul_q_lo); dense q falls back to the generic low multiply."""
+    t_lo, t_hi = _mul64_hi_limb(vlo, vhi, s0, s1, s2, s3)
+    xw_lo, xw_hi = r32.mul64_lo(vlo, vhi, wlo, whi)
+    if r32.mul_q_lo_cost(q) <= 26:
+        tq_lo, tq_hi = r32.mul_q_lo(t_lo, t_hi, q)
+    else:  # pragma: no cover - default moduli are sparse
+        tq_lo, tq_hi = r32.mul64_lo(t_lo, t_hi, *r32.const64(q))
+    return r32.sub64(xw_lo, xw_hi, tq_lo, tq_hi)
+
+
+def _mul_mode() -> str:
+    return os.environ.get("ALOHA_STREAM_MUL", "limb")
+
+
+def _stage_mul(alo, ahi, wl, wh, s0, s1, s2, s3, q: int):
+    """Twiddle multiply selected by ALOHA_STREAM_MUL (limb | sloppy)."""
+    if _mul_mode() == "limb":
+        return _shoup_mul_limb(alo, ahi, wl, wh, s0, s1, s2, s3, q)
+    sl = s0 | (s1 << np.uint32(16))
+    sh = s2 | (s3 << np.uint32(16))
+    return _shoup_mul_sloppy(alo, ahi, wl, wh, sl, sh, q)
+
+
 def _ct_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     """One forward (Harvey CT) stage with traced distance t along `axis`.
 
@@ -113,9 +196,9 @@ def _ct_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     Data is (bp, rows, LANES); twiddle rows (1, rows, LANES) broadcast
     inside the ops."""
     bit = (ids & t) != 0
-    wl, wh, sl, sh = (ref[s][None] for ref in tbl)
+    wl, wh, s0, s1, s2, s3 = (ref[s][None] for ref in tbl)
     xplo, xphi = K._condsub(alo, ahi, 4 * q)
-    ylo, yhi = _shoup_mul_sloppy(alo, ahi, wl, wh, sl, sh, q)
+    ylo, yhi = _stage_mul(alo, ahi, wl, wh, s0, s1, s2, s3, q)
     # top = x' + y[i + t]
     tlo, thi = r32.add64(
         xplo, xphi, _roll(ylo, size - t, axis), _roll(yhi, size - t, axis)
@@ -138,7 +221,7 @@ def _gs_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     (sum path < 2q after condsub+halve; diff path: sloppy product < 4q,
     halved < 2.5q); the 4q offset keeps u - v positive."""
     bit = (ids & t) != 0
-    wl, wh, sl, sh = (ref[s][None] for ref in tbl)
+    wl, wh, s0, s1, s2, s3 = (ref[s][None] for ref in tbl)
     # sum path (valid at bit = 0): x + p < 5q, condsub -> < 3q, halve -> < 2q
     slo_, shi_ = r32.add64(
         alo, ahi, _roll(alo, size - t, axis), _roll(ahi, size - t, axis)
@@ -147,7 +230,7 @@ def _gs_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     # diff path (valid at bit = 1): u - v + 4q = x[i-t] - x + 4q in (0, 6.5q)
     dlo, dhi = r32.sub64(*r32.const64(4 * q), alo, ahi)
     dlo, dhi = r32.add64(_roll(alo, t, axis), _roll(ahi, t, axis), dlo, dhi)
-    wvlo, wvhi = _shoup_mul_sloppy(dlo, dhi, wl, wh, sl, sh, q)
+    wvlo, wvhi = _stage_mul(dlo, dhi, wl, wh, s0, s1, s2, s3, q)
     s1lo, s1hi = K._halfq(wvlo, wvhi, q)
     return jnp.where(bit, s1lo, s0lo), jnp.where(bit, s1hi, s0hi)
 
@@ -195,9 +278,11 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
         vlo = alo.reshape(shp)
         vhi = ahi.reshape(shp)
         w = [ref[s][None].reshape((1,) + shp[1:])[:, :, 0] for ref in tbl]
+        sl = w[2] | (w[3] << U32_16)
+        sh = w[4] | (w[5] << U32_16)
         (tlo, thi), (blo, bhi) = K._ct_butterfly(
             vlo[:, :, 0], vhi[:, :, 0], vlo[:, :, 1], vhi[:, :, 1],
-            w[0], w[1], w[2], w[3], q,
+            w[0], w[1], sl, sh, q,
         )
         alo = jnp.stack([tlo, blo], axis=2).reshape(bp, rows, LANES)
         ahi = jnp.stack([thi, bhi], axis=2).reshape(bp, rows, LANES)
@@ -251,10 +336,10 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
 
 def _stream_body(
     inverse: bool, q: int, nchunks: int, bp: int, rows: int,
-    wl, wh, sl, sh, xlo, xhi, olo, ohi,
+    wl, wh, s0, s1, s2, s3, xlo, xhi, olo, ohi,
 ):
     logn = (rows * LANES).bit_length() - 1
-    fwd, inv = _make_stage_loops((wl, wh, sl, sh), q, rows, bp, logn)
+    fwd, inv = _make_stage_loops((wl, wh, s0, s1, s2, s3), q, rows, bp, logn)
     stages = inv if inverse else fwd
 
     def inner(ilo, ihi, qlo, qhi, sem_in, sem_out):
@@ -322,6 +407,18 @@ def _stream_body(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _tables6_np(n: int, root: int, q: int, inverse: bool):
+    """(w_lo, w_hi, s0, s1, s2, s3): twiddles as u32 planes, Shoup
+    constants pre-split into 16-bit limb planes for _mul64_hi_limb."""
+    w_lo, w_hi, s_lo, s_hi = K._tables_np(n, root, q, inverse)
+    m = np.uint32(0xFFFF)
+    return (
+        w_lo, w_hi,
+        s_lo & m, s_lo >> 16, s_hi & m, s_hi >> 16,
+    )
+
+
 def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
     # NOT nested-jitted: a nested jit whose body flips jax.enable_x64
     # leaks tracers across trace contexts when inlined into an outer jit
@@ -329,7 +426,7 @@ def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
     # plainly, the pallas_call traces its kernel body in its own scope
     # exactly like the grid kernel's host wrapper.
     rows = n // LANES
-    tables = [jnp.asarray(t) for t in K._tables_np(n, root, q, inverse)]
+    tables = [jnp.asarray(t) for t in _tables6_np(n, root, q, inverse)]
     body = functools.partial(_stream_body, inverse, q, nchunks, bp, rows)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -338,7 +435,7 @@ def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
-            in_specs=[vmem] * 4 + [hbm] * 2,
+            in_specs=[vmem] * 6 + [hbm] * 2,
             out_specs=[hbm] * 2,
             out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
             compiler_params=pltpu.CompilerParams(

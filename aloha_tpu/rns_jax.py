@@ -127,6 +127,38 @@ def mul64_lo(alo, ahi, blo, bhi):
     return l00, h00 + lo1
 
 
+def mul_q_lo_cost(q: int) -> int:
+    """Vector-op estimate of the mul_q_lo shift-add chain for this q."""
+    bits = [k for k in range(1, 64) if (q >> k) & 1]
+    return sum(2 if k >= 32 else 7 for k in bits)
+
+
+def mul_q_lo(t_lo, t_hi, q: int):
+    """lo64(t*q) as a shift-add chain over q's set bits (q a python int).
+
+    NTT-friendly moduli are sparse (q = 2^59 + c*2^14 + 1 with few set
+    bits), so this replaces the 6-multiply mul64_lo(t, const64(q)) with a
+    handful of shift-adds: bit 0 contributes t itself; a bit k >= 32
+    contributes only (t_lo << (k-32)) to the high word; a middle bit is a
+    full 64-bit shifted add.  Exact mod 2^64 for any t.  Callers should
+    fall back to mul64_lo when mul_q_lo_cost(q) is large.
+    """
+    assert q & 1, "NTT moduli are odd"
+    lo, hi = t_lo, t_hi
+    for k in range(1, 64):
+        if not (q >> k) & 1:
+            continue
+        if k >= 32:
+            hi = hi + (t_lo << U32(k - 32) if k > 32 else t_lo)
+        else:
+            slo = t_lo << U32(k)
+            shi = (t_hi << U32(k)) | (t_lo >> U32(32 - k))
+            nlo = lo + slo
+            carry = (nlo < lo).astype(U32)
+            lo, hi = nlo, hi + shi + carry
+    return lo, hi
+
+
 # ------------------------------------------------------- modular primitives
 def ge64(alo, ahi, blo, bhi):
     """a >= b as a bool array."""

@@ -28,7 +28,15 @@ ROWS, LANES = 64, 128
 BP = int(os.environ.get("BP", "8"))
 I32 = jnp.int32
 
-tbl_np = K._tables_np(CFG.n, psi, q, False)
+tbl_np = S._tables6_np(CFG.n, psi, q, False)
+
+
+def _rows(tbl):
+    """stage-5 rows: (wl, wh, s0, s1, s2, s3, sl, sh)"""
+    wl, wh, s0, s1, s2, s3 = (t[5][None] for t in tbl)
+    sl = s0 | (s1 << np.uint32(16))
+    sh = s2 | (s3 << np.uint32(16))
+    return wl, wh, s0, s1, s2, s3, sl, sh
 
 
 def _stage_env():
@@ -44,12 +52,12 @@ def v0_full_stage(alo, ahi, tbl):
 
 
 def v1_shoup(alo, ahi, tbl):
-    wl, wh, sl, sh = (t[5][None] for t in tbl)
+    wl, wh, s0, s1, s2, s3, sl, sh = _rows(tbl)
     return S._shoup_mul_sloppy(alo, ahi, wl, wh, sl, sh, q)
 
 
 def v2_mulhi_sloppy(alo, ahi, tbl):
-    sl, sh = tbl[2][5][None], tbl[3][5][None]
+    *_r, sl, sh = _rows(tbl)
     return S._mul64_hi_sloppy(alo, ahi, sl, sh)
 
 
@@ -137,38 +145,107 @@ def _mul64_hi_limb(alo, ahi, s0, s1, s2, s3):
 
 
 def v10_mulhi_limb(alo, ahi, tbl):
-    sl, sh = tbl[2][5][None], tbl[3][5][None]
-    s0 = sl & _M16
-    s1 = sl >> np.uint32(16)
-    s2 = sh & _M16
-    s3 = sh >> np.uint32(16)
+    wl, wh, s0, s1, s2, s3, sl, sh = _rows(tbl)
     return _mul64_hi_limb(alo, ahi, s0, s1, s2, s3)
 
 
 def v11_shoup_limb(alo, ahi, tbl):
     """full shoup mul with the limb hi-half"""
-    wl, wh, sl, sh = (t[5][None] for t in tbl)
-    s0 = sl & _M16
-    s1 = sl >> np.uint32(16)
-    s2 = sh & _M16
-    s3 = sh >> np.uint32(16)
+    wl, wh, s0, s1, s2, s3, sl, sh = _rows(tbl)
     t_lo, t_hi = _mul64_hi_limb(alo, ahi, s0, s1, s2, s3)
     xw_lo, xw_hi = r32.mul64_lo(alo, ahi, wl, wh)
     tq_lo, tq_hi = r32.mul64_lo(t_lo, t_hi, *r32.const64(q))
     return r32.sub64(xw_lo, xw_hi, tq_lo, tq_hi)
 
 
+def _mul_q_lo(t_lo, t_hi, qv: int):
+    """lo64(t*q) as a shift-add chain over q's set bits (q static).
+
+    bit 0 -> t itself; bit k >= 32 -> hi += tlo << (k-32); 0 < k < 32 ->
+    full 64-bit shifted add.  NTT-friendly moduli are sparse, so this
+    replaces a 6-multiply mul64_lo with a handful of shift-adds."""
+    U = np.uint32
+    bits = [k for k in range(64) if (qv >> k) & 1]
+    assert bits[0] == 0, "expects odd q"
+    lo, hi = t_lo, t_hi
+    for k in bits[1:]:
+        if k >= 32:
+            hi = hi + (t_lo << U(k - 32)) if k > 32 else hi + t_lo
+        else:
+            slo = t_lo << U(k)
+            shi = (t_hi << U(k)) | (t_lo >> U(32 - k))
+            nlo = lo + slo
+            carry = (nlo < lo).astype(U)
+            lo, hi = nlo, hi + shi + carry
+    return lo, hi
+
+
+def v12_shoup_limb_q(alo, ahi, tbl):
+    """the full candidate: limb hi-half + q shift-add chain"""
+    wl, wh, s0, s1, s2, s3, sl, sh = _rows(tbl)
+    t_lo, t_hi = _mul64_hi_limb(alo, ahi, s0, s1, s2, s3)
+    xw_lo, xw_hi = r32.mul64_lo(alo, ahi, wl, wh)
+    tq_lo, tq_hi = _mul_q_lo(t_lo, t_hi, q)
+    return r32.sub64(xw_lo, xw_hi, tq_lo, tq_hi)
+
+
+def v13_stage_limb(alo, ahi, tbl):
+    """full _ct_stage with the candidate multiply (fixed t=32 lane)"""
+    ids = _stage_env()
+    t = I32(32)
+    bit = (ids & t) != 0
+    wl, wh, s0, s1, s2, s3, sl, sh = _rows(tbl)
+    xplo, xphi = K._condsub(alo, ahi, 4 * q)
+    t_lo, t_hi = _mul64_hi_limb(alo, ahi, s0, s1, s2, s3)
+    xw_lo, xw_hi = r32.mul64_lo(alo, ahi, wl, wh)
+    tq_lo, tq_hi = _mul_q_lo(t_lo, t_hi, q)
+    ylo, yhi = r32.sub64(xw_lo, xw_hi, tq_lo, tq_hi)
+    sz = I32(LANES)
+    from jax.experimental.pallas import tpu as _pt
+
+    tlo2, thi2 = r32.add64(
+        xplo, xphi, _pt.roll(ylo, sz - t, 2), _pt.roll(yhi, sz - t, 2)
+    )
+    zlo, zhi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
+    blo, bhi = r32.add64(
+        _pt.roll(xplo, t, 2), _pt.roll(xphi, t, 2), zlo, zhi
+    )
+    return jnp.where(bit, blo, tlo2), jnp.where(bit, bhi, thi2)
+
+
+def v14_stage_sloppy_inline(alo, ahi, tbl):
+    """the current kernel math, inlined the same way as v13 (A/B control)"""
+    ids = _stage_env()
+    t = I32(32)
+    bit = (ids & t) != 0
+    wl, wh, s0, s1, s2, s3, sl, sh = _rows(tbl)
+    xplo, xphi = K._condsub(alo, ahi, 4 * q)
+    ylo, yhi = S._shoup_mul_sloppy(alo, ahi, wl, wh, sl, sh, q)
+    sz = I32(LANES)
+    from jax.experimental.pallas import tpu as _pt
+
+    tlo2, thi2 = r32.add64(
+        xplo, xphi, _pt.roll(ylo, sz - t, 2), _pt.roll(yhi, sz - t, 2)
+    )
+    zlo, zhi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
+    blo, bhi = r32.add64(
+        _pt.roll(xplo, t, 2), _pt.roll(xphi, t, 2), zlo, zhi
+    )
+    return jnp.where(bit, blo, tlo2), jnp.where(bit, bhi, thi2)
+
+
 VARIANTS = {
     "v0": v0_full_stage, "v1": v1_shoup, "v2": v2_mulhi_sloppy,
     "v3": v3_mul64lo, "v4": v4_mul32wide, "v5": v5_baremul,
     "v6": v6_roll, "v7": v7_condsub, "v8": v8_add64, "v9": v9_select,
-    "v10": v10_mulhi_limb, "v11": v11_shoup_limb,
+    "v10": v10_mulhi_limb, "v11": v11_shoup_limb, "v12": v12_shoup_limb_q,
+    "v13": v13_stage_limb, "v14": v14_stage_sloppy_inline,
 }
 
 
 def make(fn, reps):
-    def body(wl, wh, sl, sh, xl, xh, ol, oh):
-        tbl = (wl, wh, sl, sh)
+    def body(wl, wh, s0, s1, s2, s3, xl, xh, ol, oh):
+        tbl = (wl, wh, s0, s1, s2, s3)
 
         def rep(i, c):
             return fn(c[0], c[1], tbl)
@@ -183,7 +260,7 @@ def make(fn, reps):
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_shape=[
                 jax.ShapeDtypeStruct((BP, ROWS, LANES), jnp.uint32)

@@ -12,11 +12,11 @@ from aloha_tpu.ops import ntt_stream as S
 q, psi = CFG.moduli[0], CFG.psi[0]
 rows, LANES = 64, 128
 BP = int(os.environ.get("BP", "4"))
-tbls = [jnp.asarray(t) for t in K._tables_np(CFG.n, psi, q, False)]
+tbls = [jnp.asarray(t) for t in S._tables6_np(CFG.n, psi, q, False)]
 
 def make(reps):
-    def body(wl, wh, sl, sh, xl, xh, ol, oh):
-        fwd, _ = S._make_stage_loops((wl, wh, sl, sh), q, rows, BP, 13)
+    def body(wl, wh, s0, s1, s2, s3, xl, xh, ol, oh):
+        fwd, _ = S._make_stage_loops((wl, wh, s0, s1, s2, s3), q, rows, BP, 13)
         def rep(i, c):
             return fwd(*c)
         alo, ahi = jax.lax.fori_loop(
@@ -26,7 +26,7 @@ def make(reps):
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_shape=[jax.ShapeDtypeStruct((BP, rows, LANES), jnp.uint32)] * 2,
             compiler_params=pltpu.CompilerParams(
