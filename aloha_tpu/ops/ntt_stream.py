@@ -271,19 +271,27 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
 
     def _row_static_fwd(alo, ahi, s: int):
         """Row stage with a COMPILE-TIME stage index: pure sublane
-        regrouping via reshapes (the grid kernel's formulation) instead of
-        dynamic sublane rotates — enabled by ALOHA_STREAM_ROWMODE=static."""
+        regrouping via reshapes instead of dynamic sublane rotates —
+        enabled by ALOHA_STREAM_ROWMODE=static.
+
+        Unlike the roll formulation (which multiplies every element,
+        exploiting that butterfly partners share a twiddle), the separated
+        halves let the twiddle multiply run on the v half only — half the
+        multiplies on the 6 row stages.  Same [0, 8q) ride window:
+        u' = condsub(u, 4q); y = w*v < 3q (limb) / 4q (sloppy);
+        top = u' + y < 8q; bottom = u' + (4q - y) < 8q."""
         tr = rows >> (s + 1)
         shp = (bp, rows // (2 * tr), 2, tr, LANES)
         vlo = alo.reshape(shp)
         vhi = ahi.reshape(shp)
         w = [ref[s][None].reshape((1,) + shp[1:])[:, :, 0] for ref in tbl]
-        sl = w[2] | (w[3] << U32_16)
-        sh = w[4] | (w[5] << U32_16)
-        (tlo, thi), (blo, bhi) = K._ct_butterfly(
-            vlo[:, :, 0], vhi[:, :, 0], vlo[:, :, 1], vhi[:, :, 1],
-            w[0], w[1], sl, sh, q,
+        ulo, uhi = K._condsub(vlo[:, :, 0], vhi[:, :, 0], 4 * q)
+        ylo, yhi = _stage_mul(
+            vlo[:, :, 1], vhi[:, :, 1], w[0], w[1], w[2], w[3], w[4], w[5], q
         )
+        tlo, thi = r32.add64(ulo, uhi, ylo, yhi)
+        zlo, zhi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
+        blo, bhi = r32.add64(ulo, uhi, zlo, zhi)
         alo = jnp.stack([tlo, blo], axis=2).reshape(bp, rows, LANES)
         ahi = jnp.stack([thi, bhi], axis=2).reshape(bp, rows, LANES)
         return alo, ahi
