@@ -211,6 +211,53 @@ def _ct_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     return jnp.where(bit, blo, tlo), jnp.where(bit, bhi, thi)
 
 
+def _ct_stage_pair(alo, ahi, s, t, ids, tbl, q):
+    """Forward lane stage on POLY PAIRS: half the twiddle multiplies.
+
+    The Shoup product is only ever consumed at v positions (bit t set):
+    top[i] = u'[i] + y[i+t] reads y at i+t (a v lane), bottom[j] =
+    u'[j-t] + 4q - y[j] reads y at j itself (a v lane).  Since butterfly
+    partners share a twiddle, TWO polys' v halves pack into one full
+    vector: A's v elements stay at their bit=1 lanes, B's v elements
+    roll by t into the bit=0 lanes — and the shared twiddle table is
+    correct at every lane of the packed vector.  One _stage_mul then
+    serves both polys:
+
+        Y = w * where(bit, A, roll(B, -t))
+        A: top = u'_A + roll(Y, -t),  bottom = roll(u'_A, t) + (4q - Y)
+        B: top = u'_B + Y,            bottom = roll(u'_B, t) + (4q - roll(Y, t))
+
+    Data is (bp/2, 2, rows, LANES); same [0, 8q) ride window."""
+    bit = (ids & t) != 0
+    wl, wh, s0, s1, s2, s3 = (ref[s][None] for ref in tbl)
+    SZ = I32(LANES)
+    a_lo, a_hi = alo[:, 0], ahi[:, 0]
+    b_lo, b_hi = alo[:, 1], ahi[:, 1]
+    plo = jnp.where(bit, a_lo, _roll(b_lo, SZ - t, 2))
+    phi = jnp.where(bit, a_hi, _roll(b_hi, SZ - t, 2))
+    ylo, yhi = _stage_mul(plo, phi, wl, wh, s0, s1, s2, s3, q)
+    ualo, uahi = K._condsub(a_lo, a_hi, 4 * q)
+    ublo, ubhi = K._condsub(b_lo, b_hi, 4 * q)
+    # poly A combine (product at its own v lanes)
+    talo, tahi = r32.add64(
+        ualo, uahi, _roll(ylo, SZ - t, 2), _roll(yhi, SZ - t, 2)
+    )
+    zalo, zahi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
+    balo, bahi = r32.add64(_roll(ualo, t, 2), _roll(uahi, t, 2), zalo, zahi)
+    oalo = jnp.where(bit, balo, talo)
+    oahi = jnp.where(bit, bahi, tahi)
+    # poly B combine (product for v position j sits at lane j-t)
+    tblo, tbhi = r32.add64(ublo, ubhi, ylo, yhi)
+    rylo, ryhi = _roll(ylo, t, 2), _roll(yhi, t, 2)
+    zblo, zbhi = r32.sub64(*r32.const64(4 * q), rylo, ryhi)
+    bblo, bbhi = r32.add64(_roll(ublo, t, 2), _roll(ubhi, t, 2), zblo, zbhi)
+    oblo = jnp.where(bit, bblo, tblo)
+    obhi = jnp.where(bit, bbhi, tbhi)
+    return (
+        jnp.stack([oalo, oblo], axis=1), jnp.stack([oahi, obhi], axis=1)
+    )
+
+
 def _gs_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     """One inverse (lazy GS) stage with traced distance t along `axis`:
 
@@ -233,6 +280,50 @@ def _gs_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     wvlo, wvhi = _stage_mul(dlo, dhi, wl, wh, s0, s1, s2, s3, q)
     s1lo, s1hi = K._halfq(wvlo, wvhi, q)
     return jnp.where(bit, s1lo, s0lo), jnp.where(bit, s1hi, s0hi)
+
+
+def _gs_stage_pair(alo, ahi, s, t, ids, tbl, q):
+    """Inverse lane stage on POLY PAIRS: half the twiddle multiplies.
+
+    The GS product operand d = u - v + 4q is only consumed at v positions
+    (bit t set); two polys' d vectors pack into one full vector exactly as
+    in _ct_stage_pair (A's at bit=1 lanes, B's shifted into bit=0 lanes):
+
+        P = where(bit, roll(A, t) - A + 4q,  B - roll(B, -t) + 4q)
+        Y = w * P
+        A: out = halfq(where(bit, Y,          condsub(A + roll(A, -t), 2q)))
+        B: out = halfq(where(bit, roll(Y, t), condsub(B + roll(B, -t), 2q)))
+
+    Data is (bp/2, 2, rows, LANES); same [0, 2.5q) ride window."""
+    bit = (ids & t) != 0
+    wl, wh, s0, s1, s2, s3 = (ref[s][None] for ref in tbl)
+    SZ = I32(LANES)
+    a_lo, a_hi = alo[:, 0], ahi[:, 0]
+    b_lo, b_hi = alo[:, 1], ahi[:, 1]
+    rblo, rbhi = _roll(b_lo, SZ - t, 2), _roll(b_hi, SZ - t, 2)
+    dalo, dahi = r32.sub64(*r32.const64(4 * q), a_lo, a_hi)
+    dalo, dahi = r32.add64(_roll(a_lo, t, 2), _roll(a_hi, t, 2), dalo, dahi)
+    dblo, dbhi = r32.sub64(*r32.const64(4 * q), rblo, rbhi)
+    dblo, dbhi = r32.add64(b_lo, b_hi, dblo, dbhi)
+    plo = jnp.where(bit, dalo, dblo)
+    phi = jnp.where(bit, dahi, dbhi)
+    ylo, yhi = _stage_mul(plo, phi, wl, wh, s0, s1, s2, s3, q)
+    # sum paths (valid at bit = 0)
+    salo, sahi = r32.add64(
+        a_lo, a_hi, _roll(a_lo, SZ - t, 2), _roll(a_hi, SZ - t, 2)
+    )
+    salo, sahi = K._condsub(salo, sahi, 2 * q)
+    sblo, sbhi = K._condsub(*r32.add64(b_lo, b_hi, rblo, rbhi), 2 * q)
+    oalo, oahi = K._halfq(
+        jnp.where(bit, ylo, salo), jnp.where(bit, yhi, sahi), q
+    )
+    rylo, ryhi = _roll(ylo, t, 2), _roll(yhi, t, 2)
+    oblo, obhi = K._halfq(
+        jnp.where(bit, rylo, sblo), jnp.where(bit, ryhi, sbhi), q
+    )
+    return (
+        jnp.stack([oalo, oblo], axis=1), jnp.stack([oahi, obhi], axis=1)
+    )
 
 
 def _fori(lo, hi, body, init):
@@ -296,7 +387,45 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
         ahi = jnp.stack([thi, bhi], axis=2).reshape(bp, rows, LANES)
         return alo, ahi
 
-    _rowmode = os.environ.get("ALOHA_STREAM_ROWMODE", "dyn")
+    def _row_static_inv(alo, ahi, s: int):
+        """Inverse (GS) row stage with a compile-time stage index: sublane
+        regrouping via reshapes; the twiddle multiply runs on the diff
+        path only — half the multiplies vs the roll formulation.  Same
+        [0, 2.5q) ride window as _gs_stage."""
+        tr = (1 << s) // LANES
+        shp = (bp, rows // (2 * tr), 2, tr, LANES)
+        vlo = alo.reshape(shp)
+        vhi = ahi.reshape(shp)
+        w = [ref[s][None].reshape((1,) + shp[1:])[:, :, 0] for ref in tbl]
+        ulo, uhi = vlo[:, :, 0], vhi[:, :, 0]
+        plo, phi = vlo[:, :, 1], vhi[:, :, 1]
+        # sum path: u + v < 5q, condsub -> < 3q, halve -> < 2q
+        slo_, shi_ = r32.add64(ulo, uhi, plo, phi)
+        s0lo, s0hi = K._halfq(*K._condsub(slo_, shi_, 2 * q), q)
+        # diff path: u - v + 4q in (0, 6.5q); product < 3q; halve < 2q
+        dlo, dhi = r32.sub64(*r32.const64(4 * q), plo, phi)
+        dlo, dhi = r32.add64(ulo, uhi, dlo, dhi)
+        ylo, yhi = _stage_mul(
+            dlo, dhi, w[0], w[1], w[2], w[3], w[4], w[5], q
+        )
+        s1lo, s1hi = K._halfq(ylo, yhi, q)
+        alo = jnp.stack([s0lo, s1lo], axis=2).reshape(bp, rows, LANES)
+        ahi = jnp.stack([s0hi, s1hi], axis=2).reshape(bp, rows, LANES)
+        return alo, ahi
+
+    # static (compile-time stage indices, half the row-stage multiplies)
+    # measured 19% faster than the dynamic-roll formulation and is the
+    # default; dyn remains for A/B and as the formulation reference.
+    _rowmode = os.environ.get("ALOHA_STREAM_ROWMODE", "static")
+    # pair (two polys share each twiddle multiply, half the lane-stage
+    # multiplies) needs an even bp; roll is the single-poly fallback.
+    _lanemode = os.environ.get("ALOHA_STREAM_LANEMODE", "pair")
+    pair_ok = _lanemode == "pair" and bp % 2 == 0
+
+    def lane_pair(s, carry):
+        alo, ahi = carry
+        t = I32(rows * LANES) >> (s + I32(1))
+        return _ct_stage_pair(alo, ahi, s, t, lane_ids, tbl, q)
 
     def forward(alo, ahi):
         if _rowmode == "static":
@@ -307,10 +436,17 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
                 0, log_rows,
                 lambda s, c: row_stage(s, c, _ct_stage), (alo, ahi),
             )
-        alo, ahi = _fori(
-            log_rows, logn,
-            lambda s, c: lane_stage(s, c, _ct_stage), (alo, ahi),
-        )
+        if pair_ok:
+            alo = alo.reshape(bp // 2, 2, rows, LANES)
+            ahi = ahi.reshape(bp // 2, 2, rows, LANES)
+            alo, ahi = _fori(log_rows, logn, lane_pair, (alo, ahi))
+            alo = alo.reshape(bp, rows, LANES)
+            ahi = ahi.reshape(bp, rows, LANES)
+        else:
+            alo, ahi = _fori(
+                log_rows, logn,
+                lambda s, c: lane_stage(s, c, _ct_stage), (alo, ahi),
+            )
         # canonicalize: the sloppy-quotient window is [0, 8q)
         alo, ahi = K._condsub(alo, ahi, 4 * q)
         alo, ahi = K._condsub(alo, ahi, 2 * q)
@@ -326,6 +462,11 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
                 alo, ahi, s, t, lane_ids, 2, I32(LANES), tbl, q
             )
 
+        def inv_lane_pair(s, c):
+            alo, ahi = c
+            t = I32(1) << s
+            return _gs_stage_pair(alo, ahi, s, t, lane_ids, tbl, q)
+
         def inv_row(s, c):
             alo, ahi = c
             tr = (I32(1) << s) // I32(LANES)
@@ -333,8 +474,19 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
                 alo, ahi, s, tr, row_ids, 1, I32(rows), tbl, q
             )
 
-        alo, ahi = _fori(0, log_lanes, inv_lane, (alo, ahi))
-        alo, ahi = _fori(log_lanes, logn, inv_row, (alo, ahi))
+        if pair_ok:
+            alo = alo.reshape(bp // 2, 2, rows, LANES)
+            ahi = ahi.reshape(bp // 2, 2, rows, LANES)
+            alo, ahi = _fori(0, log_lanes, inv_lane_pair, (alo, ahi))
+            alo = alo.reshape(bp, rows, LANES)
+            ahi = ahi.reshape(bp, rows, LANES)
+        else:
+            alo, ahi = _fori(0, log_lanes, inv_lane, (alo, ahi))
+        if _rowmode == "static":
+            for s in range(log_lanes, logn):
+                alo, ahi = _row_static_inv(alo, ahi, s)
+        else:
+            alo, ahi = _fori(log_lanes, logn, inv_row, (alo, ahi))
         # canonicalize from the sloppy window [0, 2.5q)
         alo, ahi = K._condsub(alo, ahi, 2 * q)
         return K._condsub(alo, ahi, q)
@@ -446,6 +598,9 @@ def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
             in_specs=[vmem] * 6 + [hbm] * 2,
             out_specs=[hbm] * 2,
             out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
+            # CPU-side validation of kernel-math changes (CI without the
+            # remote compile service); slow — small batches only
+            interpret=bool(os.environ.get("ALOHA_STREAM_INTERPRET")),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 # the default 16 MiB scoped-vmem budget forces spills
