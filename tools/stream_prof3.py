@@ -39,7 +39,8 @@ xlo = jnp.asarray(rng.integers(0, 1 << 31, size=(BP, rows, LANES), dtype=np.uint
 xhi = jnp.asarray(rng.integers(0, 1 << 27, size=(BP, rows, LANES), dtype=np.uint64).astype(np.uint32))
 
 res = {}
-for reps in (20, 120):
+R0 = int(os.environ.get('R0', '20')); R1 = int(os.environ.get('R1', '120'))
+for reps in (R0, R1):
     f = make(reps)
     r = f(xlo, xhi)
     _ = np.asarray(r[0][0, 0, 0])
@@ -51,5 +52,5 @@ for reps in (20, 120):
         times.append(time.perf_counter() - t0)
     res[reps] = min(times)
     print(f"reps={reps}: min {res[reps]*1e3:.2f} ms", flush=True)
-per_poly = (res[120] - res[20]) / (100 * BP)
+per_poly = (res[R1] - res[R0]) / ((R1 - R0) * BP)
 print(f"BP={BP} compute-only: {per_poly*1e6:.3f} us/poly", flush=True)
