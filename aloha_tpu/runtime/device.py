@@ -134,6 +134,69 @@ class AlohaDevice:
             programs.ISRAM_KEYSWITCH, src, 0, dest, csr_step, ksk_ptr
         )
 
+    def ksk_slot_rows(self) -> int:
+        """Rows per rotation-key image: 2L(L+1) polys (the reference's
+        768-row / 12-poly stride for the 2-limb default)."""
+        L = self.cfg.n_limbs
+        return 2 * L * (L + 1) * self.poly_rows
+
+    def rotation_ksk_ptr(self, component: int) -> int:
+        """KSK row of the key for a power-of-two rotation component.
+
+        Components 2^k (k >= 1) follow the reference convention
+        slot = k - 1 (reference: sim/top/top_noaxilite_tb.sv:530-532).
+        The reference never rotates by an odd amount, so it reserves no
+        slot for a step-1 key; this framework extends the layout by
+        placing it in the LAST slot the KSK memory can hold (slot 11 for
+        the default 9216-row memory — exactly the slot left over after
+        steps 2..2048 fill slots 0..10 for the n=8192 config).
+        """
+        if component < 1 or component & (component - 1):
+            raise ValueError(f"{component} is not a power-of-two component")
+        stride = self.ksk_slot_rows()
+        if component == 1:
+            slot = int(self.ksk_mem.shape[0]) // stride - 1
+        else:
+            slot = component.bit_length() - 2
+        return slot * stride
+
+    def run_rotate_any(
+        self, dest: int, src: int, step: int, scratch: Optional[int] = None
+    ) -> None:
+        """Slot rotation by ANY positive amount, composed from
+        power-of-two keyswitches (3^a * 3^b = 3^(a+b) mod 2N, so rotating
+        by each set bit of `step` in sequence rotates by `step`).
+
+        Every needed component key must already be DMA'd to its
+        `rotation_ksk_ptr` slot.  Multi-bit steps ping-pong between
+        `scratch` and `dest` (both 4-poly regions, disjoint from `src`
+        and from each other; for L > 2 each launch also clobbers the
+        spill rows past its output — see run_rotate).  Single-bit steps
+        need no scratch.
+        """
+        n_slots = self.cfg.n // 2
+        step %= n_slots
+        if step == 0:
+            raise ValueError("rotation step must be nonzero mod n/2")
+        comps = [1 << k for k in range(step.bit_length()) if step & (1 << k)]
+        if len(comps) > 1 and scratch is None:
+            raise ValueError(
+                f"step {step} decomposes into {len(comps)} power-of-two "
+                "keyswitches; pass a scratch region for the intermediates"
+            )
+        n = self.cfg.n
+        cur = src
+        C = len(comps)
+        for i, comp in enumerate(comps, start=1):
+            # work backwards from the requirement that launch C lands in
+            # dest and consecutive launches never run in place
+            tgt = dest if (C - i) % 2 == 0 else scratch
+            self.run_vp(
+                programs.ISRAM_KEYSWITCH, cur, 0, tgt,
+                pow(3, comp, 2 * n), self.rotation_ksk_ptr(comp),
+            )
+            cur = tgt
+
     # ------------------------------------------------------- convenience
     def load_cipher(self, spm_row: int, flat_ct) -> None:
         """4-poly ciphertext image -> SPM (DMA command 1)."""

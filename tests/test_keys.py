@@ -85,6 +85,36 @@ def test_rotation_key_through_isa_replay(sk):
     assert (out.to_flat() == func.to_flat()).all()
 
 
+def test_rotate_any_composition(sk):
+    """Arbitrary-step rotation at the DEVICE level: run_rotate_any
+    composes power-of-two keyswitches (step 5 = 1 + 4) and lands
+    word-identical to the functional composition."""
+    from aloha_tpu.runtime.device import AlohaDevice
+
+    z = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
+    ct = keys.encrypt(_encode_signed(z), sk, CFG, np.random.default_rng(14))
+    ksk = {
+        c: keys.gen_rotation_key(sk, c, CFG, np.random.default_rng(20 + c))
+        for c in (1, 4)
+    }
+    dev = AlohaDevice(CFG)
+    for c, k in ksk.items():
+        dev.dma_load_ksk(k, row=dev.rotation_ksk_ptr(c))
+    dev.load_cipher(0, ct.to_flat())
+    dev.run_rotate_any(dest=256, src=0, step=5, scratch=512)
+    out = he.Ciphertext.from_flat(dev.store_cipher(256))
+    got = _slots(out, sk)
+    assert np.abs(got - np.roll(z, -5)).max() < 1e-4
+    func = he.rotate(he.rotate(ct, 1, ksk[1], CFG), 4, ksk[4], CFG)
+    assert (out.to_flat() == func.to_flat()).all()
+    # single-bit steps need no scratch
+    dev.run_rotate_any(dest=256, src=0, step=4)
+    single = he.Ciphertext.from_flat(dev.store_cipher(256))
+    assert (
+        single.to_flat() == he.rotate(ct, 4, ksk[4], CFG).to_flat()
+    ).all()
+
+
 def _slots_crt(ct, sk, scale_log2):
     """Decode a ciphertext whose coefficients exceed one limb (e.g. a
     Delta^2-scaled product): CRT-reconstruct over both limbs, center mod Q,
