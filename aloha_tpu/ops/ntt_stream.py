@@ -332,8 +332,10 @@ def _fori(lo, hi, body, init):
     Mosaic's for-loop lowering supports unroll=1 or full unroll only;
     "full" unrolls at LOWERING time — the traced body stays one stage, so
     the round-1 trace blowup does not return, while the backend gets
-    straight-line code to schedule."""
-    mode = os.environ.get("ALOHA_STREAM_UNROLL", "1")
+    straight-line code to schedule.  Full is the default (2.4x the
+    rolled-loop throughput); it costs a minutes-scale first compile
+    through the hosted remote service — set "1" for quick bring-up."""
+    mode = os.environ.get("ALOHA_STREAM_UNROLL", "full")
     if mode == "full":
         return jax.lax.fori_loop(lo, hi, body, init, unroll=hi - lo)
     return jax.lax.fori_loop(lo, hi, body, init)
@@ -614,7 +616,7 @@ def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
 
 
 def _chunking(nb: int):
-    bp = int(os.environ.get("ALOHA_STREAM_BP", "8"))
+    bp = int(os.environ.get("ALOHA_STREAM_BP", "16"))
     while nb % bp:
         bp //= 2
     return bp, nb // bp

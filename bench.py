@@ -99,7 +99,10 @@ def _bench():
         if os.environ.get("ALOHA_BENCH_XLA_ONLY"):
             raise RuntimeError("xla-only fallback requested")
         if ntt_pallas.available():
+            # rung 1 pins the fast-COMPILING config (the library default
+            # is the fast-RUNNING full unroll, minutes-scale compile)
             os.environ.setdefault("ALOHA_STREAM_BP", "4")
+            os.environ.setdefault("ALOHA_STREAM_UNROLL", "1")
             try:
                 # chain on the native u32 planes: the u64<->u32 conversion
                 # happens once outside the timed region, not per iteration
@@ -190,7 +193,9 @@ def _bench():
     if impl == "stream" and not smoke and not os.environ.get(
         "ALOHA_BENCH_NO_TIER2"
     ):
-        os.environ["ALOHA_STREAM_BP"] = "16"
+        # fastest measured config: 2.49 us/poly marginal (~400k NTT/s);
+        # BP=64 exceeds the 128 MiB VMEM (scheduling temporaries)
+        os.environ["ALOHA_STREAM_BP"] = "32"
         os.environ["ALOHA_STREAM_UNROLL"] = "full"
         from aloha_tpu.ops import ntt_stream as _ns
 
