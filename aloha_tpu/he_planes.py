@@ -20,6 +20,7 @@ architectural (reference: src/mem_buf/spm.sv, src/vp/vxu/mul64.sv).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,9 +51,41 @@ def to_u64(p) -> jnp.ndarray:
 def _use_stream() -> bool:
     from aloha_tpu.ops import ntt_stream
 
+    if os.environ.get("ALOHA_STREAM_INTERPRET"):
+        # CI: run the real kernel bodies through the interpreter on CPU
+        return ntt_stream._OK
     return nt_dispatch.get_impl() in ("pallas", "stream") and (
         ntt_stream.available()
     )
+
+
+def _nt_multi(groups, qs, roots, inverse: bool):
+    """Transform M same-shaped (lo, hi) groups, group m under qs[m], in
+    ONE kernel launch (ops.ntt_stream.*_planes_multi) when the streaming
+    kernel is active; otherwise falls back to per-group _nt calls.  The
+    launch fusion of the keyswitch's per-residue transform sweep."""
+    if not _use_stream():
+        return [
+            _nt(g, q, r, inverse) for g, q, r in zip(groups, qs, roots)
+        ]
+    from aloha_tpu.ops import ntt_stream
+
+    lo = jnp.stack([g[0] for g in groups], axis=0)
+    hi = jnp.stack([g[1] for g in groups], axis=0)
+    M = lo.shape[0]
+    batch = lo.shape[1:-1]
+    n = lo.shape[-1]
+    nb = int(np.prod(batch)) if batch else 1
+    l4 = lo.reshape(M, nb, n // LANES, LANES)
+    h4 = hi.reshape(M, nb, n // LANES, LANES)
+    fn = (
+        ntt_stream.intt_planes_multi if inverse
+        else ntt_stream.ntt_planes_multi
+    )
+    olo, ohi = fn(l4, h4, tuple(qs), tuple(roots))
+    olo = olo.reshape((M,) + batch + (n,))
+    ohi = ohi.reshape((M,) + batch + (n,))
+    return [(olo[m], ohi[m]) for m in range(M)]
 
 
 def _nt(p, q: int, root: int, inverse: bool):
@@ -160,10 +193,11 @@ def mul_plain(ct, pt, cfg: HEConfig = DEFAULT_CONFIG):
 
 
 def encode_post(pt_coeff, cfg: HEConfig = DEFAULT_CONFIG):
-    outs = [
-        _nt(_limb(pt_coeff, i), cfg.moduli[i], cfg.psi[i], False)
-        for i in range(cfg.n_limbs)
-    ]
+    L = cfg.n_limbs
+    outs = _nt_multi(
+        [_limb(pt_coeff, i) for i in range(L)],
+        cfg.moduli[:L], cfg.psi[:L], False,
+    )
     return _stackp(outs, -2)
 
 
@@ -183,12 +217,13 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
     half = (sp - 1) // 2
     klo, khi = ksk
 
+    # phase 1: per-limb INTT of (b_m, a_m) — ONE launch across limbs
+    pairs = _nt_multi(
+        [_stackp([_limb(b, m), _limb(a, m)], -2) for m in range(L)],
+        moduli[:L], cfg.ipsi[:L], True,
+    )
     digits, a_aut = [], []
-    for m in range(L):
-        pair = _nt(
-            _stackp([_limb(b, m), _limb(a, m)], -2), moduli[m],
-            cfg.ipsi[m], True,
-        )
+    for m, pair in enumerate(pairs):
         digits.append(
             automorphism(
                 (pair[0][..., 0, :], pair[1][..., 0, :]), step_exp, moduli[m]
@@ -200,7 +235,10 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
             )
         )
 
-    nd = [[None] * (L + 1) for _ in range(L)]
+    # phase 2: digit-raise NTTs across all L+1 residues — ONE launch
+    # (the m == L group is padded to L+1 polys so shapes match; the pad
+    # transform is discarded)
+    stacks = []
     for m in range(L + 1):
         polys = []
         for j, d in enumerate(digits):
@@ -211,11 +249,11 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
             else:
                 x = r32.modred64(*d, moduli[m])
             polys.append(x)
-        if m < L:
-            polys.append(a_aut[m])
-        slo, shi = _nt(
-            _stackp(polys, -2), moduli[m], cfg.psi[m], False
-        )
+        polys.append(a_aut[m] if m < L else polys[0])
+        stacks.append(_stackp(polys, -2))
+    raised = _nt_multi(stacks, moduli[: L + 1], cfg.psi[: L + 1], False)
+    nd = [[None] * (L + 1) for _ in range(L)]
+    for m, (slo, shi) in enumerate(raised):
         for j in range(L):
             nd[j][m] = (slo[..., j, :], shi[..., j, :])
         if m < L:
@@ -261,15 +299,21 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
         _addc((p_pair[0][..., part, :], p_pair[1][..., part, :]), half, sp)
         for part in (0, 1)
     ]
+    # phase 4: mod-down correction NTTs across limbs — ONE launch
+    corr_all = _nt_multi(
+        [
+            _stackp(
+                [_subc(m_coeff[p], half, moduli[m]) for p in (0, 1)], -2
+            )
+            for m in range(L)
+        ],
+        moduli[:L], cfg.psi[:L], False,
+    )
     ks = [[None, None] for _ in range(L)]
     for m in range(L):
         q = moduli[m]
-        pinv = cfg.pinv_mod(m)
-        corr2 = _nt(
-            _stackp([_subc(m_coeff[p], half, q) for p in (0, 1)], -2),
-            q, cfg.psi[m], False,
-        )
-        pvlo, pvhi = r32.const64(pinv)
+        corr2 = corr_all[m]
+        pvlo, pvhi = r32.const64(cfg.pinv_mod(m))
         for part in (0, 1):
             t = r32.submod64(
                 *c[m][part], corr2[0][..., part, :], corr2[1][..., part, :], q

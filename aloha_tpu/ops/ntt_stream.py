@@ -496,6 +496,79 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
     return forward, inverse
 
 
+def _chunk_pipeline(
+    ilo, ihi, qlo, qhi, sem_in, sem_out,
+    stages, nchunks: int, bp: int,
+    xlo, xhi, olo, ohi, hbm_at,
+):
+    """The double-buffered load/compute/store loop over one group of
+    chunks.  `hbm_at(ref, c)` slices the HBM operand for chunk c (the
+    multi-modulus body prepends its modulus index here)."""
+
+    def in_copy(slot, c):
+        return [
+            pltpu.make_async_copy(
+                hbm_at(src, c), dst.at[slot], sem_in.at[slot, np.int32(p)]
+            )
+            for p, (src, dst) in enumerate(((xlo, ilo), (xhi, ihi)))
+        ]
+
+    def out_copy(slot, c):
+        return [
+            pltpu.make_async_copy(
+                src.at[slot], hbm_at(dst, c), sem_out.at[slot, np.int32(p)]
+            )
+            for p, (src, dst) in enumerate(((qlo, olo), (qhi, ohi)))
+        ]
+
+    for d in in_copy(np.int32(0), np.int32(0)):
+        d.start()
+    TWO, ONE = np.int32(2), np.int32(1)
+
+    def step(c, _):
+        cur = c % TWO
+        nxt = (c + ONE) % TWO
+
+        @pl.when(c + ONE < np.int32(nchunks))
+        def _():
+            for d in in_copy(nxt, c + ONE):
+                d.start()
+
+        for d in in_copy(cur, c):
+            d.wait()
+        alo, ahi = stages(ilo[cur], ihi[cur])
+
+        @pl.when(c >= TWO)
+        def _():
+            for d in out_copy(cur, c - TWO):
+                d.wait()
+
+        qlo[cur] = alo
+        qhi[cur] = ahi
+        for d in out_copy(cur, c):
+            d.start()
+        return 0
+
+    jax.lax.fori_loop(np.int32(0), np.int32(nchunks), step, 0)
+    for back in (2, 1):
+        c = nchunks - back
+        if c >= 0:
+            for d in out_copy(np.int32(c % 2), np.int32(c)):
+                d.wait()
+
+
+def _scoped_pipeline(body, bp: int, rows: int):
+    pl.run_scoped(
+        body,
+        ilo=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
+        ihi=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
+        qlo=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
+        qhi=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
+        sem_in=pltpu.SemaphoreType.DMA((2, 2)),
+        sem_out=pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
 def _stream_body(
     inverse: bool, q: int, nchunks: int, bp: int, rows: int,
     wl, wh, s0, s1, s2, s3, xlo, xhi, olo, ohi,
@@ -504,69 +577,61 @@ def _stream_body(
     fwd, inv = _make_stage_loops((wl, wh, s0, s1, s2, s3), q, rows, bp, logn)
     stages = inv if inverse else fwd
 
+    def hbm_at(ref, c):
+        return ref.at[pl.ds(c * np.int32(bp), bp)]
+
     def inner(ilo, ihi, qlo, qhi, sem_in, sem_out):
-        def in_copy(slot, c):
-            return [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(c * np.int32(bp), bp)], dst.at[slot],
-                    sem_in.at[slot, np.int32(p)],
-                )
-                for p, (src, dst) in enumerate(((xlo, ilo), (xhi, ihi)))
-            ]
+        _chunk_pipeline(
+            ilo, ihi, qlo, qhi, sem_in, sem_out,
+            stages, nchunks, bp, xlo, xhi, olo, ohi, hbm_at,
+        )
 
-        def out_copy(slot, c):
-            return [
-                pltpu.make_async_copy(
-                    src.at[slot], dst.at[pl.ds(c * np.int32(bp), bp)],
-                    sem_out.at[slot, np.int32(p)],
-                )
-                for p, (src, dst) in enumerate(((qlo, olo), (qhi, ohi)))
-            ]
+    _scoped_pipeline(inner, bp, rows)
 
-        for d in in_copy(np.int32(0), np.int32(0)):
-            d.start()
-        TWO, ONE = np.int32(2), np.int32(1)
 
-        def step(c, _):
-            cur = c % TWO
-            nxt = (c + ONE) % TWO
+class _TblSlice:
+    """One modulus' view of a stacked (M, logn, rows, LANES) table ref,
+    presenting the single-modulus `ref[s]` interface the stage functions
+    consume."""
 
-            @pl.when(c + ONE < np.int32(nchunks))
-            def _():
-                for d in in_copy(nxt, c + ONE):
-                    d.start()
+    def __init__(self, ref, m: int):
+        self.ref, self.m = ref, m
 
-            for d in in_copy(cur, c):
-                d.wait()
-            alo, ahi = stages(ilo[cur], ihi[cur])
+    def __getitem__(self, s):
+        return self.ref[self.m, s]
 
-            @pl.when(c >= TWO)
-            def _():
-                for d in out_copy(cur, c - TWO):
-                    d.wait()
 
-            qlo[cur] = alo
-            qhi[cur] = ahi
-            for d in out_copy(cur, c):
-                d.start()
-            return 0
+def _stream_body_multi(
+    inverse: bool, qs: tuple, nchunks: int, bp: int, rows: int,
+    wl, wh, s0, s1, s2, s3, xlo, xhi, olo, ohi,
+):
+    """Transform M same-shaped poly groups, EACH UNDER ITS OWN MODULUS,
+    in one kernel launch: data is (M, nb, rows, LANES), tables are
+    stacked (M, logn, rows, LANES).  The TPU fusion of the keyswitch
+    inner loop's per-residue NTT sweep (reference: the per-modq twiddle
+    set select, src/vp/ntt/ntt_fsm.sv + sim/vp/isram_file_generator/
+    keyswitch.mem) — one launch instead of one per residue.  Each
+    modulus runs the same double-buffered pipeline; the only cost vs a
+    single-modulus launch is a DMA bubble at each modulus boundary."""
+    logn = (rows * LANES).bit_length() - 1
 
-        jax.lax.fori_loop(np.int32(0), np.int32(nchunks), step, 0)
-        for back in (2, 1):
-            c = nchunks - back
-            if c >= 0:
-                for d in out_copy(np.int32(c % 2), np.int32(c)):
-                    d.wait()
+    def inner(ilo, ihi, qlo, qhi, sem_in, sem_out):
+        for m, q in enumerate(qs):
+            tbl = tuple(
+                _TblSlice(r, m) for r in (wl, wh, s0, s1, s2, s3)
+            )
+            fwd, inv = _make_stage_loops(tbl, q, rows, bp, logn)
 
-    pl.run_scoped(
-        inner,
-        ilo=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
-        ihi=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
-        qlo=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
-        qhi=pltpu.VMEM((2, bp, rows, LANES), jnp.uint32),
-        sem_in=pltpu.SemaphoreType.DMA((2, 2)),
-        sem_out=pltpu.SemaphoreType.DMA((2, 2)),
-    )
+            def hbm_at(ref, c, m=np.int32(m)):
+                return ref.at[m, pl.ds(c * np.int32(bp), bp)]
+
+            _chunk_pipeline(
+                ilo, ihi, qlo, qhi, sem_in, sem_out,
+                inv if inverse else fwd, nchunks, bp,
+                xlo, xhi, olo, ohi, hbm_at,
+            )
+
+    _scoped_pipeline(inner, bp, rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -620,6 +685,60 @@ def _chunking(nb: int):
     while nb % bp:
         bp //= 2
     return bp, nb // bp
+
+
+@functools.lru_cache(maxsize=None)
+def _tables6_multi_np(n: int, roots: tuple, qs: tuple, inverse: bool):
+    """Stacked (M, logn, rows, LANES) u32 table planes for qs/roots."""
+    per = [_tables6_np(n, r, q, inverse) for r, q in zip(roots, qs)]
+    return tuple(np.stack(p) for p in zip(*per))
+
+
+def _stream_call_planes_multi(alo, ahi, *, qs, roots, inverse):
+    """One launch over (M, nb, rows, LANES) planes, modulus m for group m."""
+    M, nb = alo.shape[0], alo.shape[1]
+    n = alo.shape[2] * LANES
+    bp, nchunks = _chunking(nb)
+    tables = [
+        jnp.asarray(t)
+        for t in _tables6_multi_np(n, tuple(roots), tuple(qs), inverse)
+    ]
+    body = functools.partial(
+        _stream_body_multi, inverse, tuple(qs), nchunks, bp, n // LANES
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    with jax.enable_x64(False):
+        call = pl.pallas_call(
+            body,
+            in_specs=[vmem] * 6 + [hbm] * 2,
+            out_specs=[hbm] * 2,
+            out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
+            interpret=bool(os.environ.get("ALOHA_STREAM_INTERPRET")),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=int(
+                    os.environ.get("ALOHA_STREAM_VMEM", str(100 * 2**20))
+                ),
+            ),
+        )
+        return call(*tables, alo, ahi)
+
+
+def ntt_planes_multi(alo, ahi, qs, roots):
+    """Forward NTT of M same-shaped groups, group m under modulus qs[m].
+
+    alo/ahi: (M, nb, rows, 128) u32 planes; roots[m] is psi for qs[m]."""
+    return _stream_call_planes_multi(
+        alo, ahi, qs=qs, roots=roots, inverse=False
+    )
+
+
+def intt_planes_multi(alo, ahi, qs, iroots):
+    """Inverse NTT of M same-shaped groups, group m under modulus qs[m]."""
+    return _stream_call_planes_multi(
+        alo, ahi, qs=qs, roots=iroots, inverse=True
+    )
 
 
 def ntt_planes(alo, ahi, q: int, psi: int):

@@ -56,3 +56,67 @@ def test_odd_bp_falls_back_to_roll(monkeypatch):
     # nb=1 forces bp=1: the pair path requires even bp and must fall back
     monkeypatch.setenv("ALOHA_STREAM_BP", "4")
     _run(1, CFG.special_prime, CFG.psi[-1], CFG.ipsi[-1])
+
+
+def test_fused_rotate_matches_he_np(monkeypatch):
+    """The 4-launch fused rotate (multi-modulus kernels) is bit-identical
+    to the NumPy oracle, end to end through the interpreter."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from aloha_tpu import he_np, he_planes, keys
+
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    rng = np.random.default_rng(11)
+    L, N = CFG.n_limbs, CFG.n
+    a = rng.integers(0, CFG.moduli[0], size=(L, N), dtype=np.uint64)
+    b = rng.integers(0, CFG.moduli[0], size=(L, N), dtype=np.uint64)
+    sk = keys.gen_secret(CFG, rng=np.random.default_rng(1))
+    ksk = keys.gen_rotation_key(sk, 2, CFG, rng=np.random.default_rng(2))
+    ct = (he_planes.from_u64(a), he_planes.from_u64(b))
+    oa, ob = he_planes.rotate(ct, 2, he_planes.from_u64(ksk), CFG)
+    want = he_np.rotate(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()), 2, ksk, CFG
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
+
+
+def test_multi_modulus_launch(monkeypatch):
+    """One launch, three groups, three moduli == three single launches."""
+    import jax.numpy as jnp
+
+    from aloha_tpu.ops import ntt_stream
+
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    qs = (CFG.moduli[0], CFG.moduli[1], CFG.special_prime)
+    psis = (CFG.psi[0], CFG.psi[1], CFG.psi[-1])
+    ipsis = (CFG.ipsi[0], CFG.ipsi[1], CFG.ipsi[-1])
+    rows = CFG.n // 128
+    rng = np.random.default_rng(5)
+    a = np.stack(
+        [
+            rng.integers(0, q, size=(2, CFG.n), dtype=np.uint64)
+            for q in qs
+        ]
+    )
+    alo = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32)).reshape(
+        3, 2, rows, 128
+    )
+    ahi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32)).reshape(
+        3, 2, rows, 128
+    )
+    olo, ohi = ntt_stream.ntt_planes_multi(alo, ahi, qs, psis)
+    got = (
+        np.asarray(olo).astype(np.uint64)
+        | (np.asarray(ohi).astype(np.uint64) << 32)
+    ).reshape(3, 2, CFG.n)
+    for m, (q, psi) in enumerate(zip(qs, psis)):
+        for i in range(2):
+            assert np.array_equal(got[m, i], ntt_np.ntt(a[m, i], q, psi))
+    blo, bhi = ntt_stream.intt_planes_multi(olo, ohi, qs, ipsis)
+    back = (
+        np.asarray(blo).astype(np.uint64)
+        | (np.asarray(bhi).astype(np.uint64) << 32)
+    ).reshape(3, 2, CFG.n)
+    assert np.array_equal(back, a)
