@@ -201,42 +201,43 @@ def encode_post(pt_coeff, cfg: HEConfig = DEFAULT_CONFIG):
     return _stackp(outs, -2)
 
 
-def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
-    """Slot rotation (automorphism + hybrid key-switch) on (lo, hi) planes.
+def _addc(p, v, q):
+    vlo, vhi = r32.const64(v)
+    lo, hi = p
+    return r32.addmod64(
+        lo, hi, jnp.broadcast_to(vlo, lo.shape),
+        jnp.broadcast_to(vhi, hi.shape), q,
+    )
 
-    ksk: (lo, hi) planes of the (2L(L+1), N) reference layout (use
-    `from_u64(ksk_u64)`); see he_np.rotate for the algorithm and the
-    keyswitch.mem correspondence.
+
+def _subc(p, v, q):
+    vlo, vhi = r32.const64(v)
+    lo, hi = p
+    return r32.submod64(
+        lo, hi, jnp.broadcast_to(vlo, lo.shape),
+        jnp.broadcast_to(vhi, hi.shape), q,
+    )
+
+
+def _hybrid_ks(digits, riders, ksk, cfg: HEConfig):
+    """Hybrid key-switch core on planes (he_np.hybrid_keyswitch; the
+    reference keyswitch program's steps 2-4,
+    sim/vp/isram_file_generator/keyswitch.mem).
+
+    digits: L coefficient-domain (lo, hi) polys (each under its own
+    modulus).  riders: None, or L coefficient-domain polys hitched onto
+    the digit-raise launch (the rotation's aut(a) message parts — they
+    need the same per-limb NTT, so they share the kernel launch).
+    Returns (ks, riders_ntt): ks[m][part] NTT-domain planes.
     """
-    a, b = ct
-    n = a[0].shape[-1]
-    step_exp = pow(3, step, 2 * n)
     moduli = cfg.moduli
     L = cfg.n_limbs
     sp = cfg.special_prime
     half = (sp - 1) // 2
     klo, khi = ksk
 
-    # phase 1: per-limb INTT of (b_m, a_m) — ONE launch across limbs
-    pairs = _nt_multi(
-        [_stackp([_limb(b, m), _limb(a, m)], -2) for m in range(L)],
-        moduli[:L], cfg.ipsi[:L], True,
-    )
-    digits, a_aut = [], []
-    for m, pair in enumerate(pairs):
-        digits.append(
-            automorphism(
-                (pair[0][..., 0, :], pair[1][..., 0, :]), step_exp, moduli[m]
-            )
-        )
-        a_aut.append(
-            automorphism(
-                (pair[0][..., 1, :], pair[1][..., 1, :]), step_exp, moduli[m]
-            )
-        )
-
-    # phase 2: digit-raise NTTs across all L+1 residues — ONE launch
-    # (the m == L group is padded to L+1 polys so shapes match; the pad
+    # digit-raise NTTs across all L+1 residues — ONE launch (with
+    # riders the m == L group is padded so shapes match; the pad
     # transform is discarded)
     stacks = []
     for m in range(L + 1):
@@ -249,15 +250,17 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
             else:
                 x = r32.modred64(*d, moduli[m])
             polys.append(x)
-        polys.append(a_aut[m] if m < L else polys[0])
+        if riders is not None:
+            polys.append(riders[m] if m < L else polys[0])
         stacks.append(_stackp(polys, -2))
     raised = _nt_multi(stacks, moduli[: L + 1], cfg.psi[: L + 1], False)
     nd = [[None] * (L + 1) for _ in range(L)]
+    riders_ntt = [None] * L if riders is not None else None
     for m, (slo, shi) in enumerate(raised):
         for j in range(L):
             nd[j][m] = (slo[..., j, :], shi[..., j, :])
-        if m < L:
-            a_aut[m] = (slo[..., L, :], shi[..., L, :])
+        if riders is not None and m < L:
+            riders_ntt[m] = (slo[..., L, :], shi[..., L, :])
 
     stride = 2 * L
 
@@ -279,27 +282,11 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
 
     p_pair = _nt(_stackp([c[L][0], c[L][1]], -2), sp, cfg.ipsi[-1], True)
 
-    def _addc(p, v, q):
-        vlo, vhi = r32.const64(v)
-        lo, hi = p
-        return r32.addmod64(
-            lo, hi, jnp.broadcast_to(vlo, lo.shape),
-            jnp.broadcast_to(vhi, hi.shape), q,
-        )
-
-    def _subc(p, v, q):
-        vlo, vhi = r32.const64(v)
-        lo, hi = p
-        return r32.submod64(
-            lo, hi, jnp.broadcast_to(vlo, lo.shape),
-            jnp.broadcast_to(vhi, hi.shape), q,
-        )
-
     m_coeff = [
         _addc((p_pair[0][..., part, :], p_pair[1][..., part, :]), half, sp)
         for part in (0, 1)
     ]
-    # phase 4: mod-down correction NTTs across limbs — ONE launch
+    # mod-down correction NTTs across limbs — ONE launch
     corr_all = _nt_multi(
         [
             _stackp(
@@ -322,9 +309,142 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
                 *t, jnp.broadcast_to(pvlo, t[0].shape),
                 jnp.broadcast_to(pvhi, t[1].shape), q,
             )
+    return ks, riders_ntt
 
+
+def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
+    """Slot rotation (automorphism + hybrid key-switch) on (lo, hi) planes.
+
+    ksk: (lo, hi) planes of the (2L(L+1), N) reference layout (use
+    `from_u64(ksk_u64)`); see he_np.rotate for the algorithm and the
+    keyswitch.mem correspondence.  4 kernel launches total on the
+    streaming path (each NTT sweep fused across its residues).
+    """
+    a, b = ct
+    n = a[0].shape[-1]
+    step_exp = pow(3, step, 2 * n)
+    moduli = cfg.moduli
+    L = cfg.n_limbs
+
+    # per-limb INTT of (b_m, a_m) — ONE launch across limbs
+    pairs = _nt_multi(
+        [_stackp([_limb(b, m), _limb(a, m)], -2) for m in range(L)],
+        moduli[:L], cfg.ipsi[:L], True,
+    )
+    digits, a_aut = [], []
+    for m, pair in enumerate(pairs):
+        digits.append(
+            automorphism(
+                (pair[0][..., 0, :], pair[1][..., 0, :]), step_exp, moduli[m]
+            )
+        )
+        a_aut.append(
+            automorphism(
+                (pair[0][..., 1, :], pair[1][..., 1, :]), step_exp, moduli[m]
+            )
+        )
+
+    ks, a_ntt = _hybrid_ks(digits, a_aut, ksk, cfg)
     a_rot = _stackp(
-        [r32.addmod64(*a_aut[m], *ks[m][0], moduli[m]) for m in range(L)], -2
+        [r32.addmod64(*a_ntt[m], *ks[m][0], moduli[m]) for m in range(L)], -2
     )
     b_rot = _stackp([ks[m][1] for m in range(L)], -2)
     return (a_rot, b_rot)
+
+
+def ct_mul(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
+    """Ciphertext x ciphertext tensor product (NTT domain, pointwise).
+
+    Returns the degree-2 triple (d0, d1, d2) of plane pairs with
+    decrypt = d0 + d1*s + d2*s^2; feed d2 to `relinearize`
+    (he_np.ct_mul semantics, bit-identical)."""
+    moduli = cfg.moduli[: cfg.n_limbs]
+    a1, b1 = ct1
+    a2, b2 = ct2
+    d0 = _per_limb2(r32.mulmod64, a1, a2, moduli)
+    d2 = _per_limb2(r32.mulmod64, b1, b2, moduli)
+    t1 = _per_limb2(r32.mulmod64, a1, b2, moduli)
+    t2 = _per_limb2(r32.mulmod64, b1, a2, moduli)
+    d1 = _per_limb2(r32.addmod64, t1, t2, moduli)
+    return d0, d1, d2
+
+
+def relinearize(d0, d1, d2, rlk, cfg: HEConfig = DEFAULT_CONFIG):
+    """Fold the s^2 component back to degree 1 with the relin key
+    (he_np.relinearize on planes; 4 kernel launches on the streaming
+    path)."""
+    L = cfg.n_limbs
+    digits = _nt_multi(
+        [_limb(d2, m) for m in range(L)],
+        cfg.moduli[:L], cfg.ipsi[:L], True,
+    )
+    ks, _ = _hybrid_ks(digits, None, rlk, cfg)
+    a = _stackp(
+        [
+            r32.addmod64(*_limb(d0, m), *ks[m][0], cfg.moduli[m])
+            for m in range(L)
+        ],
+        -2,
+    )
+    b = _stackp(
+        [
+            r32.addmod64(*_limb(d1, m), *ks[m][1], cfg.moduli[m])
+            for m in range(L)
+        ],
+        -2,
+    )
+    return (a, b)
+
+
+def rescale(ct, cfg: HEConfig = DEFAULT_CONFIG):
+    """Drop the last limb: c' = round(c / q_last) over the remaining limbs
+    (he_np.rescale on planes; the CKKS modulus switch after a multiply).
+    Returns a ciphertext of (L-1)-limb plane pairs."""
+    L = cfg.n_limbs
+    if L < 2:
+        raise ValueError("rescale needs at least 2 limbs")
+    q_last = cfg.moduli[L - 1]
+    half = (q_last - 1) // 2
+    a, b = ct
+    # centered lift of the last limb of both parts — ONE INTT launch
+    pair = _nt(
+        _stackp([_limb(a, L - 1), _limb(b, L - 1)], -2),
+        q_last, cfg.ipsi[L - 1], True,
+    )
+    coeffs = [
+        _addc((pair[0][..., p, :], pair[1][..., p, :]), half, q_last)
+        for p in (0, 1)
+    ]
+    # correction NTTs across the remaining limbs — ONE launch
+    corr = _nt_multi(
+        [
+            _stackp(
+                [
+                    _subc(coeffs[p], half % cfg.moduli[m], cfg.moduli[m])
+                    for p in (0, 1)
+                ],
+                -2,
+            )
+            for m in range(L - 1)
+        ],
+        cfg.moduli[: L - 1], cfg.psi[: L - 1], False,
+    )
+    outs = []
+    for part_idx, src in ((0, a), (1, b)):
+        polys = []
+        for m in range(L - 1):
+            q = cfg.moduli[m]
+            ivlo, ivhi = r32.const64(pow(q_last, -1, q))
+            t = r32.submod64(
+                *_limb(src, m),
+                corr[m][0][..., part_idx, :], corr[m][1][..., part_idx, :],
+                q,
+            )
+            polys.append(
+                r32.mulmod64(
+                    *t, jnp.broadcast_to(ivlo, t[0].shape),
+                    jnp.broadcast_to(ivhi, t[1].shape), q,
+                )
+            )
+        outs.append(_stackp(polys, -2))
+    return (outs[0], outs[1])

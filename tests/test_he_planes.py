@@ -77,3 +77,37 @@ def test_batched_rotate_matches_per_ct(data):
         )
         assert np.array_equal(oa[i], want.a)
         assert np.array_equal(ob[i], want.b)
+
+
+def test_ct_mul_relin_rescale(data):
+    """ct x ct multiply, relinearize, rescale on planes are bit-identical
+    to the he_np oracle (the reference ships only ct x pt; these extend
+    the op set per BASELINE.json, matching he_np.ct_mul/relinearize/
+    rescale exactly)."""
+    a, b, _, _ = data
+    rng = np.random.default_rng(7)
+    a2 = rng.integers(0, CFG.moduli[0], size=a.shape, dtype=np.uint64)
+    b2 = rng.integers(0, CFG.moduli[0], size=b.shape, dtype=np.uint64)
+    sk = keys.gen_secret(CFG, rng=np.random.default_rng(8))
+    rlk = keys.gen_relin_key(sk, CFG, rng=np.random.default_rng(9))
+
+    ct1 = (he_planes.from_u64(a), he_planes.from_u64(b))
+    ct2 = (he_planes.from_u64(a2), he_planes.from_u64(b2))
+    d0, d1, d2 = he_planes.ct_mul(ct1, ct2, CFG)
+    w0, w1, w2 = he_np.ct_mul(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()),
+        he_np.Ciphertext(a=a2.copy(), b=b2.copy()),
+        CFG,
+    )
+    for got, want in ((d0, w0), (d1, w1), (d2, w2)):
+        assert np.array_equal(np.asarray(he_planes.to_u64(got)), want)
+
+    out = he_planes.relinearize(d0, d1, d2, he_planes.from_u64(rlk), CFG)
+    want_ct = he_np.relinearize(w0, w1, w2, rlk, CFG)
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[0])), want_ct.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want_ct.b)
+
+    rs = he_planes.rescale(out, CFG)
+    want_rs = he_np.rescale(want_ct, CFG)
+    assert np.array_equal(np.asarray(he_planes.to_u64(rs[0])), want_rs.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(rs[1])), want_rs.b)

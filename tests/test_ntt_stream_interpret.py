@@ -82,6 +82,37 @@ def test_fused_rotate_matches_he_np(monkeypatch):
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
 
 
+def test_fused_relin_rescale_matches_he_np(monkeypatch):
+    """relinearize + rescale through the fused streaming launches are
+    bit-identical to the NumPy oracle."""
+    from aloha_tpu import he_np, he_planes, keys
+
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    rng = np.random.default_rng(13)
+    L, N = CFG.n_limbs, CFG.n
+    mk = lambda s: rng.integers(0, CFG.moduli[0], size=(L, N), dtype=np.uint64)  # noqa: E731
+    a1, b1, a2, b2 = mk(0), mk(1), mk(2), mk(3)
+    sk = keys.gen_secret(CFG, rng=np.random.default_rng(8))
+    rlk = keys.gen_relin_key(sk, CFG, rng=np.random.default_rng(9))
+    d0, d1, d2 = he_planes.ct_mul(
+        (he_planes.from_u64(a1), he_planes.from_u64(b1)),
+        (he_planes.from_u64(a2), he_planes.from_u64(b2)), CFG,
+    )
+    out = he_planes.relinearize(d0, d1, d2, he_planes.from_u64(rlk), CFG)
+    w0, w1, w2 = he_np.ct_mul(
+        he_np.Ciphertext(a=a1.copy(), b=b1.copy()),
+        he_np.Ciphertext(a=a2.copy(), b=b2.copy()), CFG,
+    )
+    want = he_np.relinearize(w0, w1, w2, rlk, CFG)
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[0])), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
+    rs = he_planes.rescale(out, CFG)
+    want_rs = he_np.rescale(want, CFG)
+    assert np.array_equal(np.asarray(he_planes.to_u64(rs[0])), want_rs.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(rs[1])), want_rs.b)
+
+
 def test_multi_modulus_launch(monkeypatch):
     """One launch, three groups, three moduli == three single launches."""
     import jax.numpy as jnp
