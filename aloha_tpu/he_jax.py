@@ -188,3 +188,36 @@ def _rotate_exp(ct, step_exp, ksk, cfg: HEConfig):
     )
     b_rot = jnp.stack([ks[m][1] for m in range(L)], axis=-2)
     return (a_rot, b_rot)
+
+
+# ---- leveled-multiply flow: u64 wrappers over the plane path ----------
+# (he_planes holds the native implementations; these keep the u64 API
+# complete for users of this module.  Bit-identical to he_np.)
+def ct_mul(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
+    """Ciphertext x ciphertext tensor product -> (d0, d1, d2), uint64."""
+    from aloha_tpu import he_planes as hp
+
+    d0, d1, d2 = hp.ct_mul(
+        (hp.from_u64(ct1[0]), hp.from_u64(ct1[1])),
+        (hp.from_u64(ct2[0]), hp.from_u64(ct2[1])), cfg,
+    )
+    return hp.to_u64(d0), hp.to_u64(d1), hp.to_u64(d2)
+
+
+def relinearize(d0, d1, d2, rlk, cfg: HEConfig = DEFAULT_CONFIG):
+    """Fold the s^2 component back to degree 1 (uint64 surface)."""
+    from aloha_tpu import he_planes as hp
+
+    a, b = hp.relinearize(
+        hp.from_u64(d0), hp.from_u64(d1), hp.from_u64(d2),
+        hp.from_u64(rlk), cfg,
+    )
+    return hp.to_u64(a), hp.to_u64(b)
+
+
+def rescale(ct, cfg: HEConfig = DEFAULT_CONFIG):
+    """Drop the last limb: round(c / q_last) (uint64 surface)."""
+    from aloha_tpu import he_planes as hp
+
+    a, b = hp.rescale((hp.from_u64(ct[0]), hp.from_u64(ct[1])), cfg)
+    return hp.to_u64(a), hp.to_u64(b)

@@ -62,3 +62,30 @@ def test_rotate_golden_and_batched():
     for i in range(3):
         assert (np.asarray(a3)[i] == want[:2]).all()
         assert (np.asarray(b3)[i] == want[2:]).all()
+
+
+def test_ct_mul_relin_rescale_u64_surface():
+    """The he_jax u64 wrappers match he_np exactly."""
+    from aloha_tpu import he_np, keys
+
+    rng = np.random.default_rng(21)
+    L, N = CFG.n_limbs, CFG.n
+    mk = lambda: rng.integers(0, CFG.moduli[0], size=(L, N), dtype=np.uint64)  # noqa: E731
+    a1, b1, a2, b2 = mk(), mk(), mk(), mk()
+    sk = keys.gen_secret(CFG, rng=np.random.default_rng(8))
+    rlk = keys.gen_relin_key(sk, CFG, rng=np.random.default_rng(9))
+    d = he_jax.ct_mul((a1, b1), (a2, b2), CFG)
+    w = he_np.ct_mul(
+        he_np.Ciphertext(a=a1.copy(), b=b1.copy()),
+        he_np.Ciphertext(a=a2.copy(), b=b2.copy()), CFG,
+    )
+    for got, want in zip(d, w):
+        assert np.array_equal(np.asarray(got), want)
+    out = he_jax.relinearize(*d, rlk, CFG)
+    want_ct = he_np.relinearize(*w, rlk, CFG)
+    assert np.array_equal(np.asarray(out[0]), want_ct.a)
+    assert np.array_equal(np.asarray(out[1]), want_ct.b)
+    rs = he_jax.rescale(out, CFG)
+    want_rs = he_np.rescale(want_ct, CFG)
+    assert np.array_equal(np.asarray(rs[0]), want_rs.a)
+    assert np.array_equal(np.asarray(rs[1]), want_rs.b)
