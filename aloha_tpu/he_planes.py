@@ -64,7 +64,7 @@ def _nt_multi(groups, qs, roots, inverse: bool):
     ONE kernel launch (ops.ntt_stream.*_planes_multi) when the streaming
     kernel is active; otherwise falls back to per-group _nt calls.  The
     launch fusion of the keyswitch's per-residue transform sweep."""
-    if not _use_stream():
+    if not _use_stream() or os.environ.get("ALOHA_STREAM_FUSE") == "0":
         return [
             _nt(g, q, r, inverse) for g, q, r in zip(groups, qs, roots)
         ]
