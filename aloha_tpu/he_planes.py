@@ -326,6 +326,14 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
     moduli = cfg.moduli
     L = cfg.n_limbs
 
+    # fully fused path: the whole rotation in TWO kernel launches
+    # (in-kernel automorphism; ALOHA_KS_KERNEL=0 falls back to the
+    # 4-launch multi-modulus path below)
+    if _use_stream() and os.environ.get("ALOHA_KS_KERNEL", "1") != "0":
+        from aloha_tpu.ops import ks_kernel
+
+        return ks_kernel.rotate_planes(a, b, step_exp, ksk, cfg)
+
     # per-limb INTT of (b_m, a_m) — ONE launch across limbs
     pairs = _nt_multi(
         [_stackp([_limb(b, m), _limb(a, m)], -2) for m in range(L)],

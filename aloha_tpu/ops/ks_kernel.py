@@ -1,0 +1,458 @@
+"""Fused key-switch kernels: the whole rotation in TWO launches.
+
+The reference runs its 122-instruction keyswitch program without data
+leaving the SPM (reference: sim/vp/isram_file_generator/keyswitch.mem);
+the per-launch overhead of the hosted TPU backend makes launch count the
+dominant rotation cost, so this module fuses the 4 multi-modulus
+launches of `he_planes.rotate` into two kernels:
+
+  ks_head:  INTT (all limbs) -> automorphism -> digit raise -> NTT
+            (all L+1 residues), per-chunk in VMEM
+  ks_tail:  KSK inner products -> special-prime INTT -> mod-down
+            correction NTTs -> final (a_rot, b_rot) combine
+
+The in-kernel automorphism uses the permutation decomposition proven in
+tools/probe_aut_kernel.py: row-perm and lane-perm as one-hot f32 MXU
+matmuls (HIGHEST precision; u16 limb planes ride exactly) plus per-lane
+conditional sublane rolls and a destination sign mask — the TPU form of
+the reference's vaut lane/iconn permutation (src/vp/vxu/vxu_lane.sv:594).
+
+Both kernels iterate chunks of `bp` ciphertexts via the Pallas grid
+(automatic in/out pipelining); twiddle tables for every modulus stay
+VMEM-resident across the launch.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aloha_tpu import rns_jax as r32
+from aloha_tpu.config import HEConfig
+from aloha_tpu.ops import ntt_stream as ns
+from aloha_tpu.ops.ntt_pallas import LANES
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _OK = True
+except Exception:  # pragma: no cover
+    _OK = False
+
+
+def available() -> bool:
+    return ns.available()
+
+
+# ------------------------------------------------------ automorphism math
+@functools.lru_cache(maxsize=None)
+def _aut_consts_np(n: int, e: int):
+    """Step-dependent kernel INPUTS (numpy; the kernel itself is
+    step-agnostic): one-hot row/lane permutation matrices, per-lane row
+    roll bit masks, destination sign mask."""
+    rows = n // LANES
+    Q = np.zeros((rows, rows), dtype=np.float32)
+    Q[(np.arange(rows) * e) % rows, np.arange(rows)] = 1.0
+    P = np.zeros((LANES, LANES), dtype=np.float32)
+    P[np.arange(LANES), (np.arange(LANES) * e) % LANES] = 1.0
+    csrc = (np.arange(LANES) * pow(e, -1, LANES)) % LANES
+    o = ((csrc * e) // LANES) % rows
+    nbits = rows.bit_length() - 1
+    rm = np.stack(
+        [((o >> k) & 1).astype(np.uint32) for k in range(nbits)]
+    ).reshape(nbits, 1, LANES)
+    i = np.arange(n, dtype=np.int64)
+    j = (i * e) % (2 * n)
+    dst = j % n
+    neg = np.zeros(n, dtype=bool)
+    neg[dst] = j >= n
+    sg = neg.reshape(rows, LANES).astype(np.uint32)
+    return Q, P, rm, sg
+
+
+def _perm16(x16, Qr, Pr):
+    # one-hot contraction at HIGHEST precision is exact for u16 planes
+    # (default f32 matmul truncates operands to bf16); Mosaic has no
+    # u32 -> f32 cast, hop through i32
+    f = x16.astype(jnp.int32).astype(jnp.float32)
+    f = jnp.matmul(
+        Qr, f, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    f = jnp.matmul(
+        f, Pr, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return f.astype(jnp.int32).astype(jnp.uint32)
+
+
+def _aut_tile(lo, hi, q: int, Qr, Pr, rm, sg, nbits: int):
+    """Automorphism of one (rows, LANES) canonical-residue tile."""
+    U = jnp.uint32
+    planes = [lo & U(0xFFFF), lo >> U(16), hi & U(0xFFFF), hi >> U(16)]
+    planes = [_perm16(p, Qr, Pr) for p in planes]
+    lo = planes[0] | (planes[1] << U(16))
+    hi = planes[2] | (planes[3] << U(16))
+    for k in range(nbits):
+        m = rm[k] != U(0)
+        lo = jnp.where(m, pltpu.roll(lo, 1 << k, 0), lo)
+        hi = jnp.where(m, pltpu.roll(hi, 1 << k, 0), hi)
+    # literal q - x including x = 0 -> q (RTL sign rule)
+    slo, shi = r32.sub64(U(q & 0xFFFFFFFF), U(q >> 32), lo, hi)
+    m = sg != U(0)
+    return jnp.where(m, slo, lo), jnp.where(m, shi, hi)
+
+
+# ------------------------------------------------------------ head kernel
+def _head_body(
+    cfg: HEConfig, bp: int, rows: int,
+    iwl, iwh, is0, is1, is2, is3,      # inverse tables, stacked (L, ...)
+    fwl, fwh, fs0, fs1, fs2, fs3,      # forward tables, stacked (L+1, ...)
+    Qr, Pr, rm, sg,                    # automorphism constants
+    xlo, xhi,                          # (L, bp, 2, rows, LANES) blocks
+    olo, ohi,                          # (L+1, bp, L+1, rows, LANES) blocks
+):
+    L = cfg.n_limbs
+    moduli = cfg.moduli
+    logn = (rows * LANES).bit_length() - 1
+    nbits = rows.bit_length() - 1
+    Q_ = Qr[...]
+    P_ = Pr[...]
+    rm_ = rm[...]
+    sg_ = sg[...]
+
+    digits, riders = [], []
+    for m in range(L):
+        tbl = tuple(
+            ns._TblSlice(r, m) for r in (iwl, iwh, is0, is1, is2, is3)
+        )
+        _, inv = ns._make_stage_loops(tbl, moduli[m], rows, 2 * bp, logn)
+        lo = xlo[m].reshape(2 * bp, rows, LANES)
+        hi = xhi[m].reshape(2 * bp, rows, LANES)
+        lo, hi = inv(lo, hi)
+        alo, ahi = [], []
+        for p in range(2 * bp):
+            tl, th = _aut_tile(
+                lo[p], hi[p], moduli[m], Q_, P_, rm_, sg_, nbits
+            )
+            alo.append(tl)
+            ahi.append(th)
+        lo = jnp.stack(alo).reshape(bp, 2, rows, LANES)
+        hi = jnp.stack(ahi).reshape(bp, 2, rows, LANES)
+        digits.append((lo[:, 0], hi[:, 0]))   # aut(INTT(b_m))
+        riders.append((lo[:, 1], hi[:, 1]))   # aut(INTT(a_m))
+
+    for mm in range(L + 1):
+        polys = []
+        for j, d in enumerate(digits):
+            if mm == j:
+                x = d
+            elif moduli[mm] > moduli[j]:
+                x = r32.lazy_reduce64(*d, moduli[mm])
+            else:
+                x = r32.modred64(*d, moduli[mm])
+            polys.append(x)
+        polys.append(riders[mm] if mm < L else polys[0])
+        slo = jnp.stack([p[0] for p in polys], axis=1)
+        shi = jnp.stack([p[1] for p in polys], axis=1)
+        tbl = tuple(
+            ns._TblSlice(r, mm) for r in (fwl, fwh, fs0, fs1, fs2, fs3)
+        )
+        fwd, _ = ns._make_stage_loops(
+            tbl, moduli[mm], rows, bp * (L + 1), logn
+        )
+        rlo, rhi = fwd(
+            slo.reshape(bp * (L + 1), rows, LANES),
+            shi.reshape(bp * (L + 1), rows, LANES),
+        )
+        olo[mm] = rlo.reshape(bp, L + 1, rows, LANES)
+        ohi[mm] = rhi.reshape(bp, L + 1, rows, LANES)
+
+
+# ------------------------------------------------------------ tail kernel
+def _tail_body(
+    cfg: HEConfig, bp: int, rows: int,
+    iwl, iwh, is0, is1, is2, is3,      # inverse tables for sp (1, ...)
+    fwl, fwh, fs0, fs1, fs2, fs3,      # forward tables, stacked (L, ...)
+    klo, khi,                          # KSK planes (2L(L+1), rows, LANES)
+    nlo, nhi,                          # head output (L+1, bp, L+1, ...)
+    alo_out, ahi_out,                  # (L, bp, 2, rows, LANES) blocks
+):
+    L = cfg.n_limbs
+    moduli = cfg.moduli
+    sp = cfg.special_prime
+    half = (sp - 1) // 2
+    logn = (rows * LANES).bit_length() - 1
+    stride = 2 * L
+
+    def bc(v, shape):
+        vlo, vhi = r32.const64(v)
+        return jnp.broadcast_to(vlo, shape), jnp.broadcast_to(vhi, shape)
+
+    # inner products under every residue (KSK resident in VMEM)
+    c = [[None, None] for _ in range(L + 1)]
+    riders = [None] * L
+    for m in range(L + 1):
+        q = moduli[m]
+        glo = nlo[m]
+        ghi = nhi[m]
+        if m < L:
+            riders[m] = (glo[:, L], ghi[:, L])
+        for part in (0, 1):
+            acc = r32.mulmod64(
+                glo[:, 0], ghi[:, 0],
+                klo[stride * m + part][None], khi[stride * m + part][None],
+                q,
+            )
+            for j in range(1, L):
+                t = r32.mulmod64(
+                    glo[:, j], ghi[:, j],
+                    klo[stride * m + 2 * j + part][None],
+                    khi[stride * m + 2 * j + part][None],
+                    q,
+                )
+            # fold the running sum
+                acc = r32.addmod64(*acc, *t, q)
+            c[m][part] = acc
+
+    # mod-down by P with (P-1)/2 rounding
+    tbl = tuple(
+        ns._TblSlice(r, 0) for r in (iwl, iwh, is0, is1, is2, is3)
+    )
+    _, inv = ns._make_stage_loops(tbl, sp, rows, 2 * bp, logn)
+    plo = jnp.stack([c[L][0][0], c[L][1][0]], axis=1)
+    phi = jnp.stack([c[L][0][1], c[L][1][1]], axis=1)
+    plo, phi = inv(
+        plo.reshape(2 * bp, rows, LANES), phi.reshape(2 * bp, rows, LANES)
+    )
+    plo = plo.reshape(bp, 2, rows, LANES)
+    phi = phi.reshape(bp, 2, rows, LANES)
+    sh = (bp, rows, LANES)
+    m_coeff = [
+        r32.addmod64(plo[:, p], phi[:, p], *bc(half, sh), sp)
+        for p in (0, 1)
+    ]
+
+    for m in range(L):
+        q = moduli[m]
+        slo = jnp.stack(
+            [
+                r32.submod64(*m_coeff[p], *bc(half, sh), q)[0]
+                for p in (0, 1)
+            ],
+            axis=1,
+        )
+        shi = jnp.stack(
+            [
+                r32.submod64(*m_coeff[p], *bc(half, sh), q)[1]
+                for p in (0, 1)
+            ],
+            axis=1,
+        )
+        tbl = tuple(
+            ns._TblSlice(r, m) for r in (fwl, fwh, fs0, fs1, fs2, fs3)
+        )
+        fwd, _ = ns._make_stage_loops(tbl, q, rows, 2 * bp, logn)
+        clo, chi = fwd(
+            slo.reshape(2 * bp, rows, LANES), shi.reshape(2 * bp, rows, LANES)
+        )
+        clo = clo.reshape(bp, 2, rows, LANES)
+        chi = chi.reshape(bp, 2, rows, LANES)
+        outs = []
+        for part in (0, 1):
+            t = r32.submod64(
+                *c[m][part], clo[:, part], chi[:, part], q
+            )
+            ks = r32.mulmod64(*t, *bc(cfg.pinv_mod(m), sh), q)
+            if part == 0:
+                ks = r32.addmod64(*riders[m], *ks, q)
+            outs.append(ks)
+        alo_out[m] = jnp.stack([outs[0][0], outs[1][0]], axis=1)
+        ahi_out[m] = jnp.stack([outs[0][1], outs[1][1]], axis=1)
+
+
+# --------------------------------------------------------------- wrappers
+def _interp() -> bool:
+    return bool(os.environ.get("ALOHA_STREAM_INTERPRET"))
+
+
+def _params():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(
+            os.environ.get("ALOHA_STREAM_VMEM", str(100 * 2**20))
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _head_tables(cfg: HEConfig):
+    L = cfg.n_limbs
+    inv = [
+        ns._tables6_np(cfg.n, cfg.ipsi[m], cfg.moduli[m], True)
+        for m in range(L)
+    ]
+    fwd = [
+        ns._tables6_np(cfg.n, cfg.psi[m], cfg.moduli[m], False)
+        for m in range(L + 1)
+    ]
+    return (
+        tuple(np.stack(p) for p in zip(*inv)),
+        tuple(np.stack(p) for p in zip(*fwd)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_tables(cfg: HEConfig):
+    L = cfg.n_limbs
+    inv = ns._tables6_np(cfg.n, cfg.ipsi[-1], cfg.special_prime, True)
+    fwd = [
+        ns._tables6_np(cfg.n, cfg.psi[m], cfg.moduli[m], False)
+        for m in range(L)
+    ]
+    return (
+        tuple(t[None] for t in inv),
+        tuple(np.stack(p) for p in zip(*fwd)),
+    )
+
+
+def _chunk(nb: int) -> int:
+    bp = int(os.environ.get("ALOHA_KS_BP", "4"))
+    while nb % bp:
+        bp //= 2
+    return bp
+
+
+def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
+    """(L, nb, 2, rows, LANES) ciphertext planes ([b_m, a_m] per limb)
+    -> (L+1, nb, L+1, rows, LANES) raised digit/rider planes."""
+    L = cfg.n_limbs
+    nb = xlo.shape[1]
+    rows = cfg.n // LANES
+    bp = _chunk(nb)
+    itbl, ftbl = _head_tables(cfg)
+    Q, P, rm, sg = _aut_consts_np(cfg.n, step_exp)
+    consts = [jnp.asarray(t) for t in (*itbl, *ftbl, Q, P, rm, sg)]
+    grid = (nb // bp,)
+    full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
+    body = functools.partial(_head_body, cfg, bp, rows)
+    with jax.enable_x64(False):
+        call = pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=(
+                [full(t.shape) for t in consts[:12]]
+                + [
+                    pl.BlockSpec((rows, rows), lambda c: (0, 0)),
+                    pl.BlockSpec((LANES, LANES), lambda c: (0, 0)),
+                    pl.BlockSpec(rm.shape, lambda c: (0, 0, 0)),
+                    pl.BlockSpec((rows, LANES), lambda c: (0, 0)),
+                ]
+                + [
+                    pl.BlockSpec(
+                        (L, bp, 2, rows, LANES),
+                        lambda c: (0, c, 0, 0, 0),
+                    )
+                ]
+                * 2
+            ),
+            out_specs=[
+                pl.BlockSpec(
+                    (L + 1, bp, L + 1, rows, LANES),
+                    lambda c: (0, c, 0, 0, 0),
+                )
+            ]
+            * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (L + 1, nb, L + 1, rows, LANES), jnp.uint32
+                )
+            ]
+            * 2,
+            interpret=_interp(),
+            compiler_params=_params(),
+        )
+        return call(*consts, xlo, xhi)
+
+
+def ks_tail(nlo, nhi, klo, khi, cfg: HEConfig):
+    """Raised planes + KSK -> rotated ciphertext planes
+    (L, nb, 2, rows, LANES): [:, :, 0] = a_rot, [:, :, 1] = b_rot."""
+    L = cfg.n_limbs
+    nb = nlo.shape[1]
+    rows = cfg.n // LANES
+    bp = _chunk(nb)
+    itbl, ftbl = _tail_tables(cfg)
+    consts = [jnp.asarray(t) for t in (*itbl, *ftbl)]
+    body = functools.partial(_tail_body, cfg, bp, rows)
+    full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
+    with jax.enable_x64(False):
+        call = pl.pallas_call(
+            body,
+            grid=(nb // bp,),
+            in_specs=(
+                [full(t.shape) for t in consts]
+                + [full(klo.shape)] * 2
+                + [
+                    pl.BlockSpec(
+                        (L + 1, bp, L + 1, rows, LANES),
+                        lambda c: (0, c, 0, 0, 0),
+                    )
+                ]
+                * 2
+            ),
+            out_specs=[
+                pl.BlockSpec(
+                    (L, bp, 2, rows, LANES), lambda c: (0, c, 0, 0, 0)
+                )
+            ]
+            * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((L, nb, 2, rows, LANES), jnp.uint32)
+            ]
+            * 2,
+            interpret=_interp(),
+            compiler_params=_params(),
+        )
+        return call(*consts, klo, khi, nlo, nhi)
+
+
+def rotate_planes(a, b, step_exp: int, ksk, cfg: HEConfig):
+    """Full rotation in two launches.  a, b: (lo, hi) planes (..., L, N);
+    ksk: (lo, hi) of (2L(L+1), N).  Returns (a_rot, b_rot) like
+    he_planes.rotate."""
+    L = cfg.n_limbs
+    rows = cfg.n // LANES
+    alo, ahi = a
+    blo, bhi = b
+    batch = alo.shape[:-2]
+    nb = int(np.prod(batch)) if batch else 1
+
+    def pack(lo):
+        # (..., L, N) -> (L, nb, rows, LANES)
+        t = lo.reshape(nb, L, rows, LANES)
+        return jnp.moveaxis(t, 1, 0)
+
+    xlo = jnp.stack([pack(blo), pack(alo)], axis=2)  # (L, nb, 2, r, l)
+    xhi = jnp.stack([pack(bhi), pack(ahi)], axis=2)
+    nlo, nhi = ks_head(xlo, xhi, step_exp, cfg)
+    klo, khi = ksk
+    olo, ohi = ks_tail(
+        nlo, nhi,
+        klo.reshape(2 * L * (L + 1), rows, LANES),
+        khi.reshape(2 * L * (L + 1), rows, LANES),
+        cfg,
+    )
+
+    def unpack(t, part):
+        # (L, nb, 2, rows, LANES) -> (..., L, N)
+        u = jnp.moveaxis(t[:, :, part], 0, 1)
+        return u.reshape(batch + (L, cfg.n))
+
+    a_rot = (unpack(olo, 0), unpack(ohi, 0))
+    b_rot = (unpack(olo, 1), unpack(ohi, 1))
+    return a_rot, b_rot

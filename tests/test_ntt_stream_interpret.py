@@ -58,13 +58,16 @@ def test_odd_bp_falls_back_to_roll(monkeypatch):
     _run(1, CFG.special_prime, CFG.psi[-1], CFG.ipsi[-1])
 
 
-def test_fused_rotate_matches_he_np(monkeypatch):
-    """The 4-launch fused rotate (multi-modulus kernels) is bit-identical
+@pytest.mark.parametrize("ks_kernel", ["1", "0"])
+def test_fused_rotate_matches_he_np(monkeypatch, ks_kernel):
+    """Both fused rotates — the 2-launch ks_kernel path (in-kernel
+    automorphism) and the 4-launch multi-modulus path — are bit-identical
     to the NumPy oracle, end to end through the interpreter."""
     import jax.numpy as jnp  # noqa: F401
 
     from aloha_tpu import he_np, he_planes, keys
 
+    monkeypatch.setenv("ALOHA_KS_KERNEL", ks_kernel)
     monkeypatch.setenv("ALOHA_STREAM_BP", "2")
     monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
     rng = np.random.default_rng(11)
