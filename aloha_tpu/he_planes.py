@@ -379,9 +379,21 @@ def ct_mul(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
 
 def relinearize(d0, d1, d2, rlk, cfg: HEConfig = DEFAULT_CONFIG):
     """Fold the s^2 component back to degree 1 with the relin key
-    (he_np.relinearize on planes; 4 kernel launches on the streaming
-    path)."""
+    (he_np.relinearize on planes).
+
+    On the streaming backend this reuses the TWO fused keyswitch
+    kernels with an identity automorphism (e = 1) and zero rider polys
+    — the same compiled kernels as rotate, different runtime constants
+    — so the keyswitch core costs 2 launches here too."""
     L = cfg.n_limbs
+    if _use_stream() and os.environ.get("ALOHA_KS_KERNEL", "1") != "0":
+        from aloha_tpu.ops import ks_kernel
+
+        zero = tuple(jnp.zeros_like(p) for p in d2)
+        ka, kb = ks_kernel.rotate_planes(zero, d2, 1, rlk, cfg)
+        a = _per_limb2(r32.addmod64, d0, ka, cfg.moduli[:L])
+        b = _per_limb2(r32.addmod64, d1, kb, cfg.moduli[:L])
+        return (a, b)
     digits = _nt_multi(
         [_limb(d2, m) for m in range(L)],
         cfg.moduli[:L], cfg.ipsi[:L], True,
