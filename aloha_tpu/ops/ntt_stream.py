@@ -656,7 +656,7 @@ def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
     tables = [jnp.asarray(t) for t in _tables6_np(n, root, q, inverse)]
     body = functools.partial(_stream_body, inverse, q, nchunks, bp, rows)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     # the kernel body must trace with x64 disabled (x64 tracing of the
     # in-kernel loop counters trips a JAX promotion recursion)
     with jax.enable_x64(False):
@@ -665,6 +665,12 @@ def _stream_call_planes(alo, ahi, *, q, root, inverse, n, bp, nchunks):
             in_specs=[vmem] * 6 + [hbm] * 2,
             out_specs=[hbm] * 2,
             out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
+            # in-place on the HBM planes: the chunk pipeline only starts
+            # out-DMA(c) after in-DMA(c) completed, and later in-DMAs read
+            # disjoint regions, so aliasing input->output is race-free; it
+            # halves the HBM footprint of chained transforms (XLA inserts
+            # a copy when the caller still needs the input)
+            input_output_aliases={6: 0, 7: 1},
             # CPU-side validation of kernel-math changes (CI without the
             # remote compile service); slow — small batches only
             interpret=bool(os.environ.get("ALOHA_STREAM_INTERPRET")),
@@ -707,13 +713,15 @@ def _stream_call_planes_multi(alo, ahi, *, qs, roots, inverse):
         _stream_body_multi, inverse, tuple(qs), nchunks, bp, n // LANES
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
             in_specs=[vmem] * 6 + [hbm] * 2,
             out_specs=[hbm] * 2,
             out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
+            # race-free in-place aliasing, as in _stream_call_planes
+            input_output_aliases={6: 0, 7: 1},
             interpret=bool(os.environ.get("ALOHA_STREAM_INTERPRET")),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,

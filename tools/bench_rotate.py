@@ -1,16 +1,23 @@
 """Batched rotation throughput on the u32-plane path (streaming NTT).
 
 Marginal protocol (K-chained rotations, min-of-iters) — see
-tools/stream_marginal.py for why one-shot timings lie here."""
+tools/stream_marginal.py for why one-shot timings lie here.
+
+ALOHA_KS_KERNEL=0 reverts to the 4-launch multi-modulus form for A/B
+against the fused head/tail keyswitch kernels."""
 import os, time
 import numpy as np
 import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from aloha_tpu import he_planes, keys
 from aloha_tpu.config import DEFAULT_CONFIG as CFG
 from aloha_tpu.ops import dispatch
 
-B = int(os.environ.get("B", "32"))  # batch of independent ciphertexts
+B = int(os.environ.get("B", "16"))  # batch of independent ciphertexts
+KS = (1, int(os.environ.get("K", "3")))
 L, n = CFG.n_limbs, CFG.n
 rng = np.random.default_rng(0)
 a = rng.integers(0, CFG.moduli[0], size=(B, L, n), dtype=np.uint64)
@@ -27,12 +34,18 @@ def chain(pa, pb, k):
         pa, pb = he_planes.rotate((pa, pb), 2, pk, CFG)
     return pa, pb
 
-print("impl:", dispatch.get_impl(), flush=True)
+def stamp(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+stamp(f"impl: {dispatch.get_impl()} ks_kernel="
+      f"{os.environ.get('ALOHA_KS_KERNEL', '1')} B={B} K={KS}")
 res = {}
-for K in (1, 4):
+for K in KS:
     f = jax.jit(lambda x, y, K=K: chain(x, y, K))
+    t0 = time.perf_counter()
     r = f(pa, pb)
     _ = np.asarray(r[0][0][0, 0, 0])
+    stamp(f"K={K}: compiled+ran in {time.perf_counter()-t0:.1f} s")
     times = []
     for _i in range(5):
         t0 = time.perf_counter()
@@ -40,6 +53,9 @@ for K in (1, 4):
         _ = np.asarray(r[0][0][0, 0, 0])
         times.append(time.perf_counter() - t0)
     res[K] = min(times)
-    print(f"K={K}: min {res[K]*1e3:.1f} ms over {sorted(round(t*1e3) for t in times)}", flush=True)
-slope = (res[4] - res[1]) / (3 * B)
-print(f"marginal {slope*1e6:.1f} us/rotation -> {1/max(slope,1e-12):,.0f} rotations/s", flush=True)
+    stamp(f"K={K}: min {res[K]*1e3:.1f} ms over "
+          f"{sorted(round(t*1e3) for t in times)}")
+k0, k1 = KS
+slope = (res[k1] - res[k0]) / ((k1 - k0) * B)
+stamp(f"marginal {slope*1e6:.1f} us/rotation -> "
+      f"{1/max(slope,1e-12):,.0f} rotations/s")
