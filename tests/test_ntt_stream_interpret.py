@@ -154,3 +154,50 @@ def test_multi_modulus_launch(monkeypatch):
         | (np.asarray(bhi).astype(np.uint64) << 32)
     ).reshape(3, 2, CFG.n)
     assert np.array_equal(back, a)
+
+
+def test_fused_rotate_three_limbs_small_ring(monkeypatch):
+    """The fused ks_head/ks_tail kernels are limb-count- and ring-degree-
+    generic: a 3-limb (+P) configuration at n=1024 rotates bit-identically
+    to the NumPy oracle (the reference hardwires 2 limbs and n=8192,
+    src/top/h2_top.sv:31-32)."""
+    from aloha_tpu import he_np, he_planes, keys
+    from aloha_tpu.config import HEConfig
+
+    monkeypatch.setenv("ALOHA_KS_KERNEL", "1")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    # 2048-th roots derived from test_multilimb's 16384-th roots (psi^8)
+    cfg = HEConfig(
+        n=1024,
+        moduli=(
+            576460752303439873,
+            576460752303702017,
+            576460752304439297,
+            576460752304619521,
+        ),
+        psi=(
+            94501300158356233,
+            476326773003166877,
+            148318682470543905,
+            148537735488545494,
+        ),
+        ipsi=(
+            351196243136101305,
+            354588920078794975,
+            101101274619666410,
+            39851676782494322,
+        ),
+    )
+    L, N = cfg.n_limbs, cfg.n
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, cfg.moduli[0], size=(L, N), dtype=np.uint64)
+    b = rng.integers(0, cfg.moduli[0], size=(L, N), dtype=np.uint64)
+    sk = keys.gen_secret(cfg, rng=np.random.default_rng(3))
+    ksk = keys.gen_rotation_key(sk, 4, cfg, rng=np.random.default_rng(4))
+    ct = (he_planes.from_u64(a), he_planes.from_u64(b))
+    oa, ob = he_planes.rotate(ct, 4, he_planes.from_u64(ksk), cfg)
+    want = he_np.rotate(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()), 4, ksk, cfg
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
