@@ -111,18 +111,34 @@ def _full_prod_sum_floor(Fr, Fi, Tr, Ti):
 
 
 # ------------------------------------------------------------------- tables
+#: Per-entry corrections to the Xilinx core's stored phase factors,
+#: reverse-engineered from the tv/*/rtl_result encode dumps (the core's
+#: internal ROMs are not shipped; most entries are round-to-nearest of
+#: 2^32 e^{2 pi i qn/L}, but some carry +-1..2 LSB generator noise — the
+#: pipelined-streaming core keeps an independently rounded twiddle ROM
+#: per stage pair, so the same angle can deviate at one level and be
+#: exact at another).  Fitted by tools/encoder_fit.py; keys are
+#: (L, q, n) stage-pair coordinates, values (d_re, d_im).
+PHASE_FIX: dict = {}
+
+
 @functools.lru_cache(maxsize=None)
 def _tw_tables(L: int):
     """Quantized inverse phase factors W_L^{qn} = rne(2^32 e^{2 pi i qn/L})
-    for the three non-trivial branches of a radix-2^2 stage pair."""
+    for the three non-trivial branches of a radix-2^2 stage pair, plus
+    the fitted per-entry hardware corrections (PHASE_FIX; mutators must
+    call _tw_tables.cache_clear())."""
     n = np.arange(L // 4)
     out = {}
     for q in (1, 2, 3):
         ang = 2 * np.pi * q * n / L
-        out[q] = (
-            np.rint(np.cos(ang) * 2.0**32).astype(np.int64),
-            np.rint(np.sin(ang) * 2.0**32).astype(np.int64),
-        )
+        re = np.rint(np.cos(ang) * 2.0**32).astype(np.int64)
+        im = np.rint(np.sin(ang) * 2.0**32).astype(np.int64)
+        for (fl, fq, fn), (dre, dim) in PHASE_FIX.items():
+            if fl == L and fq == q:
+                re[fn] += dre
+                im[fn] += dim
+        out[q] = (re, im)
     return out
 
 

@@ -279,7 +279,39 @@ def _bench():
             dt = time.perf_counter() - t0
             best2 = max(best2, batch * iters / dt)
         if best2 > ntts_per_sec:
+            ntts_per_sec = best2
             emit(best2)
+
+        # tier 3: batch 256 with a long chain — the same kernel config
+        # measured fastest per-poly at nb=256 (2.49 us marginal); round-2
+        # sessions saw nb=1024 run ~1.8x slower per poly in adjacent
+        # windows, so when the anomaly is live this tier wins.  Kernel
+        # body differs only in nchunks (one more Mosaic compile).
+        b3 = int(os.environ.get("ALOHA_BENCH_BATCH3", "256"))
+        k3 = int(os.environ.get("ALOHA_BENCH_ITERS3", "192"))
+        x3 = jax.block_until_ready(
+            jax.jit(lambda v: jax.tree.map(lambda t: t[:b3], v))(xr)
+        )
+
+        def chain3(v):
+            for _ in range(k3):
+                v = fn2(v)
+            return v
+
+        cfn3 = jax.jit(chain3)
+        out = cfn3(x3)
+        leaf = jax.tree.leaves(out)[0]
+        _ = np.asarray(leaf[(0,) * leaf.ndim])
+        best3 = 0.0
+        for _trial in range(4):
+            t0 = time.perf_counter()
+            out = cfn3(x3)
+            leaf = jax.tree.leaves(out)[0]
+            _ = np.asarray(leaf[(0,) * leaf.ndim])
+            dt = time.perf_counter() - t0
+            best3 = max(best3, b3 * k3 / dt)
+        if best3 > ntts_per_sec:
+            emit(best3)
 
 
 if __name__ == "__main__":
