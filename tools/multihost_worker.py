@@ -8,6 +8,8 @@ Usage: multihost_worker.py <process_id> <num_processes> <coordinator>
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 pid, nprocs, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
 os.environ["XLA_FLAGS"] = (
