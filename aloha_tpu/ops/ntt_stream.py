@@ -116,9 +116,23 @@ def _mul64_hi_limb(alo, ahi, s0, s1, s2, s3):
     a1 = alo >> S(16)
     a2 = ahi & _M16
     a3 = ahi >> S(16)
-    p02 = a0 * s2
-    p11 = a1 * s1
-    p20 = a2 * s0
+    return _hi_limb_parts(a0, a1, a2, a3, s0, s1, s2, s3, False)
+
+
+def _hi_limb_parts(a0, a1, a2, a3, s0, s1, s2, s3, drop3: bool):
+    """Column-sum hi64 estimate from pre-split 16-bit limbs.
+
+    drop3 additionally drops the p02/p11/p20 products (whose only use is
+    column 3, which feeds the quotient solely through its carry): the
+    column-3 deficit is < 3*2^16 + 5, so the quotient underestimates by
+    at most 4 (on top of the base {0,-1}) — 10 multiplies, products land
+    in [0, 6q), and the forward ride window widens to [0, 16q), which
+    still fits u64 for any q < 2^60."""
+    S = np.uint32
+    if not drop3:
+        p02 = a0 * s2
+        p11 = a1 * s1
+        p20 = a2 * s0
     p03 = a0 * s3
     p12 = a1 * s2
     p21 = a2 * s1
@@ -129,10 +143,9 @@ def _mul64_hi_limb(alo, ahi, s0, s1, s2, s3):
     p23 = a2 * s3
     p32 = a3 * s2
     p33 = a3 * s3
-    col3 = (
-        (p03 & _M16) + (p12 & _M16) + (p21 & _M16) + (p30 & _M16)
-        + (p02 >> S(16)) + (p11 >> S(16)) + (p20 >> S(16))
-    )
+    col3 = (p03 & _M16) + (p12 & _M16) + (p21 & _M16) + (p30 & _M16)
+    if not drop3:
+        col3 = col3 + (p02 >> S(16)) + (p11 >> S(16)) + (p20 >> S(16))
     col4 = (
         (p13 & _M16) + (p22 & _M16) + (p31 & _M16)
         + (p03 >> S(16)) + (p12 >> S(16)) + (p21 >> S(16))
@@ -153,13 +166,40 @@ def _mul64_hi_limb(alo, ahi, s0, s1, s2, s3):
     return t_lo, t_hi
 
 
-def _shoup_mul_limb(vlo, vhi, wlo, whi, s0, s1, s2, s3, q: int):
-    """x*w mod q, limb quotient + shift-add t*q: output in [0, 3q).
+def _mul64_lo_parts(a0, a1, vlo, vhi, wlo, whi):
+    """lo64(v*w) reusing v's pre-split low limbs; w's 16-bit split runs
+    on the (broadcast) twiddle row, not the data."""
+    S = np.uint32
+    w0 = wlo & _M16
+    w1 = wlo >> S(16)
+    p00 = a0 * w0
+    p01 = a0 * w1
+    p10 = a1 * w0
+    p11 = a1 * w1
+    mid = (p00 >> S(16)) + (p01 & _M16) + (p10 & _M16)
+    lo = (p00 & _M16) | (mid << S(16))
+    hi = (
+        p11 + (p01 >> S(16)) + (p10 >> S(16)) + (mid >> S(16))
+        + vlo * whi + vhi * wlo
+    )
+    return lo, hi
+
+
+def _shoup_mul_limb(vlo, vhi, wlo, whi, s0, s1, s2, s3, q: int,
+                    drop3: bool = False):
+    """x*w mod q, limb quotient + shift-add t*q: output in [0, 3q)
+    (drop3: 10-multiply quotient, output in [0, 6q) — see
+    _hi_limb_parts).
 
     The t*q product exploits the sparsity of NTT-friendly moduli
     (rns_jax.mul_q_lo); dense q falls back to the generic low multiply."""
-    t_lo, t_hi = _mul64_hi_limb(vlo, vhi, s0, s1, s2, s3)
-    xw_lo, xw_hi = r32.mul64_lo(vlo, vhi, wlo, whi)
+    S = np.uint32
+    a0 = vlo & _M16
+    a1 = vlo >> S(16)
+    a2 = vhi & _M16
+    a3 = vhi >> S(16)
+    t_lo, t_hi = _hi_limb_parts(a0, a1, a2, a3, s0, s1, s2, s3, drop3)
+    xw_lo, xw_hi = _mul64_lo_parts(a0, a1, vlo, vhi, wlo, whi)
     if r32.mul_q_lo_cost(q) <= 26:
         tq_lo, tq_hi = r32.mul_q_lo(t_lo, t_hi, q)
     else:  # pragma: no cover - default moduli are sparse
@@ -171,10 +211,21 @@ def _mul_mode() -> str:
     return os.environ.get("ALOHA_STREAM_MUL", "limb")
 
 
+def _off_mult() -> int:
+    """Butterfly offset/condsub threshold multiple: the limb10 quotient
+    overshoots by up to 4q extra, so products ride < 6q and the forward
+    window widens from [0, 8q) to [0, 16q) (16q < 2^64 for q < 2^60)."""
+    return 8 if _mul_mode() == "limb10" else 4
+
+
 def _stage_mul(alo, ahi, wl, wh, s0, s1, s2, s3, q: int):
-    """Twiddle multiply selected by ALOHA_STREAM_MUL (limb | sloppy)."""
-    if _mul_mode() == "limb":
-        return _shoup_mul_limb(alo, ahi, wl, wh, s0, s1, s2, s3, q)
+    """Twiddle multiply selected by ALOHA_STREAM_MUL
+    (limb | limb10 | sloppy)."""
+    mode = _mul_mode()
+    if mode in ("limb", "limb10"):
+        return _shoup_mul_limb(
+            alo, ahi, wl, wh, s0, s1, s2, s3, q, drop3=mode == "limb10"
+        )
     sl = s0 | (s1 << np.uint32(16))
     sh = s2 | (s3 << np.uint32(16))
     return _shoup_mul_sloppy(alo, ahi, wl, wh, sl, sh, q)
@@ -196,15 +247,16 @@ def _ct_stage(alo, ahi, s, t, ids, axis, size, tbl, q):
     Data is (bp, rows, LANES); twiddle rows (1, rows, LANES) broadcast
     inside the ops."""
     bit = (ids & t) != 0
+    OFF = _off_mult() * q
     wl, wh, s0, s1, s2, s3 = (ref[s][None] for ref in tbl)
-    xplo, xphi = K._condsub(alo, ahi, 4 * q)
+    xplo, xphi = K._condsub(alo, ahi, OFF)
     ylo, yhi = _stage_mul(alo, ahi, wl, wh, s0, s1, s2, s3, q)
     # top = x' + y[i + t]
     tlo, thi = r32.add64(
         xplo, xphi, _roll(ylo, size - t, axis), _roll(yhi, size - t, axis)
     )
-    # bottom = x'[i - t] + (4q - y)
-    zlo, zhi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
+    # bottom = x'[i - t] + (OFF - y)
+    zlo, zhi = r32.sub64(*r32.const64(OFF), ylo, yhi)
     blo, bhi = r32.add64(
         _roll(xplo, t, axis), _roll(xphi, t, axis), zlo, zhi
     )
@@ -227,8 +279,10 @@ def _ct_stage_pair(alo, ahi, s, t, ids, tbl, q):
         A: top = u'_A + roll(Y, -t),  bottom = roll(u'_A, t) + (4q - Y)
         B: top = u'_B + Y,            bottom = roll(u'_B, t) + (4q - roll(Y, t))
 
-    Data is (bp/2, 2, rows, LANES); same [0, 8q) ride window."""
+    Data is (bp/2, 2, rows, LANES); same [0, 8q) ride window (16q under
+    limb10)."""
     bit = (ids & t) != 0
+    OFF = _off_mult() * q
     wl, wh, s0, s1, s2, s3 = (ref[s][None] for ref in tbl)
     SZ = I32(LANES)
     a_lo, a_hi = alo[:, 0], ahi[:, 0]
@@ -236,21 +290,22 @@ def _ct_stage_pair(alo, ahi, s, t, ids, tbl, q):
     plo = jnp.where(bit, a_lo, _roll(b_lo, SZ - t, 2))
     phi = jnp.where(bit, a_hi, _roll(b_hi, SZ - t, 2))
     ylo, yhi = _stage_mul(plo, phi, wl, wh, s0, s1, s2, s3, q)
-    ualo, uahi = K._condsub(a_lo, a_hi, 4 * q)
-    ublo, ubhi = K._condsub(b_lo, b_hi, 4 * q)
+    ualo, uahi = K._condsub(a_lo, a_hi, OFF)
+    ublo, ubhi = K._condsub(b_lo, b_hi, OFF)
     # poly A combine (product at its own v lanes)
     talo, tahi = r32.add64(
         ualo, uahi, _roll(ylo, SZ - t, 2), _roll(yhi, SZ - t, 2)
     )
-    zalo, zahi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
+    zalo, zahi = r32.sub64(*r32.const64(OFF), ylo, yhi)
     balo, bahi = r32.add64(_roll(ualo, t, 2), _roll(uahi, t, 2), zalo, zahi)
     oalo = jnp.where(bit, balo, talo)
     oahi = jnp.where(bit, bahi, tahi)
-    # poly B combine (product for v position j sits at lane j-t)
+    # poly B combine (product for v position j sits at lane j-t);
+    # bottom_B[i] = u'_B[i-t] + OFF - Y[i-t] = roll(u'_B + OFF - Y, t),
+    # one rolled sum instead of rolling u'_B and Y separately
     tblo, tbhi = r32.add64(ublo, ubhi, ylo, yhi)
-    rylo, ryhi = _roll(ylo, t, 2), _roll(yhi, t, 2)
-    zblo, zbhi = r32.sub64(*r32.const64(4 * q), rylo, ryhi)
-    bblo, bbhi = r32.add64(_roll(ublo, t, 2), _roll(ubhi, t, 2), zblo, zbhi)
+    gblo, gbhi = r32.add64(ublo, ubhi, zalo, zahi)
+    bblo, bbhi = _roll(gblo, t, 2), _roll(gbhi, t, 2)
     oblo = jnp.where(bit, bblo, tblo)
     obhi = jnp.where(bit, bbhi, tbhi)
     return (
@@ -372,18 +427,19 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
         halves let the twiddle multiply run on the v half only — half the
         multiplies on the 6 row stages.  Same [0, 8q) ride window:
         u' = condsub(u, 4q); y = w*v < 3q (limb) / 4q (sloppy);
-        top = u' + y < 8q; bottom = u' + (4q - y) < 8q."""
+        top = u' + y < 8q; bottom = u' + (OFF - y) < 2*OFF."""
+        OFF = _off_mult() * q
         tr = rows >> (s + 1)
         shp = (bp, rows // (2 * tr), 2, tr, LANES)
         vlo = alo.reshape(shp)
         vhi = ahi.reshape(shp)
         w = [ref[s][None].reshape((1,) + shp[1:])[:, :, 0] for ref in tbl]
-        ulo, uhi = K._condsub(vlo[:, :, 0], vhi[:, :, 0], 4 * q)
+        ulo, uhi = K._condsub(vlo[:, :, 0], vhi[:, :, 0], OFF)
         ylo, yhi = _stage_mul(
             vlo[:, :, 1], vhi[:, :, 1], w[0], w[1], w[2], w[3], w[4], w[5], q
         )
         tlo, thi = r32.add64(ulo, uhi, ylo, yhi)
-        zlo, zhi = r32.sub64(*r32.const64(4 * q), ylo, yhi)
+        zlo, zhi = r32.sub64(*r32.const64(OFF), ylo, yhi)
         blo, bhi = r32.add64(ulo, uhi, zlo, zhi)
         alo = jnp.stack([tlo, blo], axis=2).reshape(bp, rows, LANES)
         ahi = jnp.stack([thi, bhi], axis=2).reshape(bp, rows, LANES)
@@ -449,7 +505,9 @@ def _make_stage_loops(tbl, q, rows, bp, logn):
                 log_rows, logn,
                 lambda s, c: lane_stage(s, c, _ct_stage), (alo, ahi),
             )
-        # canonicalize: the sloppy-quotient window is [0, 8q)
+        # canonicalize: the ride window is [0, 2*OFF)
+        if _off_mult() == 8:
+            alo, ahi = K._condsub(alo, ahi, 8 * q)
         alo, ahi = K._condsub(alo, ahi, 4 * q)
         alo, ahi = K._condsub(alo, ahi, 2 * q)
         return K._condsub(alo, ahi, q)

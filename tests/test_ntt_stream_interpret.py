@@ -58,6 +58,17 @@ def test_odd_bp_falls_back_to_roll(monkeypatch):
     _run(1, CFG.special_prime, CFG.psi[-1], CFG.ipsi[-1])
 
 
+@pytest.mark.parametrize("mul", ["limb", "limb10", "sloppy"])
+@pytest.mark.parametrize("rowmode", ["static", "dyn"])
+def test_mul_modes(monkeypatch, mul, rowmode):
+    # limb10 drops 3 quotient products and rides [0, 16q); every mul mode
+    # must stay bit-exact in every stage formulation
+    monkeypatch.setenv("ALOHA_STREAM_MUL", mul)
+    monkeypatch.setenv("ALOHA_STREAM_ROWMODE", rowmode)
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    _run(2, CFG.moduli[0], CFG.psi[0], CFG.ipsi[0])
+
+
 @pytest.mark.parametrize("ks_kernel", ["1", "0"])
 def test_fused_rotate_matches_he_np(monkeypatch, ks_kernel):
     """Both fused rotates — the 2-launch ks_kernel path (in-kernel
