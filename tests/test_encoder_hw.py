@@ -61,7 +61,7 @@ def test_encode_vs_rtl_dump(inst, kern):
         m = _signed(got[limb].astype(np.int64), q)
         err = np.abs(m - g)
         assert (err == 0).mean() > 0.98, f"limb {limb}: {(err == 0).mean()}"
-        assert err.max() <= 32, f"limb {limb}: maxerr {err.max()}"
+        assert err.max() <= 16, f"limb {limb}: maxerr {err.max()}"
 
 
 def test_rtl_combine_mod16_structure():
@@ -116,3 +116,43 @@ def test_fft_linearity_scale():
     fr, fi = encoder_hw.xfft2048(xr, xi)
     assert np.all(fr == 1000)
     assert np.all(fi == 0)
+
+
+# all true RTL encode dumps (dump -> cleartext kernel, matched by search)
+ALL_PAIRS = [
+    ("case0_4_4", "2", "kernel2"), ("case0_4_4", "3", "kernel3"),
+    ("case1_8_8", "1", "kernel1"), ("case1_8_8", "2", "kernel2"),
+    ("case1_8_8", "6", "kernel6"), ("case1_8_8", "7", "kernel7"),
+    ("case2_16_16", "1", "kernel1"), ("case2_16_16", "2", "kernel2"),
+    ("case2_16_16", "6", "kernel6"), ("case2_16_16", "7", "kernel7"),
+    ("case2_16_16", "13", "kernel13"), ("case2_16_16", "14", "kernel14"),
+    ("case2_16_16", "20", "kernel20"), ("case2_16_16", "21", "kernel21"),
+]
+
+
+def test_encode_vs_all_rtl_dumps_aggregate():
+    """Aggregate envelope over every true RTL encode dump in tv/:
+    >= 97.5% of valid words exact, |err| <= 32 (two stacked FFT ULPs)
+    everywhere (the fitted 2^33 phase-factor model; docs/ENCODER.md).
+    A structural regression (routing, scale, rounding mode) produces
+    ~1e8-scale errors and a near-zero exact rate, so this trips
+    immediately."""
+    total = bad = 0
+    for case, inst, kern in ALL_PAIRS:
+        dump = _load_dump(
+            f"{TV}/{case}/rtl_result/inst_{inst}_0_out.txt"
+        ).reshape(-1, CFG.n)
+        clear = np.loadtxt(
+            f"{TV}/{case}/{kern}_cleartext_before_encode_re_im.txt"
+        )
+        got = encoder_hw.encode(clear, combine="rtl")
+        for limb in range(2):
+            q = CFG.moduli[limb]
+            valid = dump[limb] >= 0
+            g = _signed(dump[limb], q)
+            m = _signed(got[limb].astype(np.int64), q)
+            err = np.abs(m - g)[valid]
+            assert err.max() <= 32, f"{case}/{kern} limb {limb}: {err.max()}"
+            total += err.size
+            bad += int((err != 0).sum())
+    assert bad / total < 0.025, f"{bad}/{total} mismatching"

@@ -93,11 +93,11 @@ class Evaluator:
         self.xr, self.xi, self.gold, self.valid = load_all()
         self.T = E.get_combine_roms(CFG.n)
 
-    def mismatches(self, fix: dict) -> int:
+    def _m(self, fix: dict, raw_stats=None) -> np.ndarray:
         E.PHASE_FIX.clear()
         E.PHASE_FIX.update(fix)
         E._tw_tables.cache_clear()
-        Fr, Fi = E.xfft2048(self.xr, self.xi)  # (D, 4, 2048)
+        Fr, Fi = E.xfft2048(self.xr, self.xi, raw_stats)  # (D, 4, 2048)
         Fr = np.moveaxis(Fr, 1, 0)  # (4, D, 2048)
         Fi = np.moveaxis(Fi, 1, 0)
         D = Fr.shape[1]
@@ -106,6 +106,15 @@ class Evaluator:
             m[:, 2048 * r:2048 * (r + 1)] = E._trunc_prod_sum(
                 Fr, Fi, self.T[:, r, None, :, 0], self.T[:, r, None, :, 1]
             )
+        return m
+
+    def per_dump(self, fix: dict) -> np.ndarray:
+        m = self._m(fix)
+        bad = (m[:, None, :] != self.gold) & self.valid
+        return bad.sum(axis=(1, 2))
+
+    def mismatches(self, fix: dict) -> int:
+        m = self._m(fix)
         bad = 0
         for limb in range(2):
             bad += int(
@@ -113,24 +122,49 @@ class Evaluator:
             )
         return bad
 
+    def live_entries(self) -> set:
+        """(L, q, n) entries some nonzero data actually flows through —
+        only these can affect any output."""
+        stats: dict = {}
+        self._m({}, raw_stats=stats)
+        live = set()
+        for (L, q), mag in stats.items():
+            for n in np.nonzero(mag)[0]:
+                live.add((L, q, int(n)))
+        return live
+
+
+def _save(fix: dict, path: str):
+    clean = {k: v for k, v in sorted(fix.items()) if v != (0, 0)}
+    with open(path, "w") as f:
+        json.dump({str(k): list(v) for k, v in clean.items()}, f, indent=1)
+    return clean
+
+
+def load_fits(path: str) -> dict:
+    with open(path) as f:
+        return {
+            tuple(int(x) for x in k.strip("()").split(",")): tuple(v)
+            for k, v in json.load(f).items()
+        }
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--levels", default="8,32,128")
+    ap.add_argument("--levels", default="8,32,128,512,2048")
     ap.add_argument("--deltas", default="1,2")
     ap.add_argument("--rounds", type=int, default=8)
-    ap.add_argument("--out", default="/tmp/encoder_fits.json")
-    ap.add_argument("--seed", default="", help="JSON of prior fits")
+    ap.add_argument("--out", default="tools/encoder_fits.json")
+    ap.add_argument("--seed", default="", help="JSON of prior fits "
+                    "(defaults to --out when it exists)")
     args = ap.parse_args()
 
     ev = Evaluator()
     fix = dict(E.PHASE_FIX)
-    if args.seed:
-        with open(args.seed) as f:
-            for k, v in json.load(f).items():
-                fix[tuple(int(x) for x in k.strip("()").split(","))] = (
-                    tuple(v)
-                )
+    seed = args.seed or (args.out if os.path.exists(args.out) else "")
+    if seed:
+        fix.update(load_fits(seed))
+        print(f"seeded {len(fix)} entries from {seed}", flush=True)
     base = ev.mismatches(fix)
     total = int(ev.valid.sum())
     print(f"baseline: {base}/{total} mismatching "
@@ -139,13 +173,18 @@ def main():
     deltas = []
     for d in (int(v) for v in args.deltas.split(",")):
         deltas += [d, -d]
+    live = ev.live_entries()
+    levels = [int(v) for v in args.levels.split(",")]
     cands = [
         (L, q, n)
-        for L in (int(v) for v in args.levels.split(","))
+        for L in levels
         for q in (1, 2, 3)
         for n in range(1, L // 4)
+        if (L, q, n) in live
     ]
-    print(f"{len(cands)} candidate entries, deltas {deltas}", flush=True)
+    pruned = sum(3 * (L // 4 - 1) for L in levels) - len(cands)
+    print(f"{len(cands)} candidate entries ({pruned} pruned as zero-flow), "
+          f"deltas {deltas}", flush=True)
     t0 = time.time()
     for rnd in range(args.rounds):
         improved = False
@@ -167,18 +206,18 @@ def main():
                     fix[key] = tuple(cur)
                     base = best_bad
                     improved = True
+                    _save(fix, args.out)
                     print(f"  [{time.time()-t0:6.0f}s] W_{key[0]}^"
                           f"{{{key[1]}*{key[2]}}}"
                           f"{'re' if comp == 0 else 'im'} += {best_d} -> "
                           f"{base} bad ({100*(1-base/total):.3f}%)",
                           flush=True)
-        clean = {k: v for k, v in sorted(fix.items()) if v != (0, 0)}
-        print(f"round {rnd}: {base} bad, {len(clean)} fixes", flush=True)
+        clean = _save(fix, args.out)
+        print(f"round {rnd}: {base} bad, {len(clean)} fixes; per-dump "
+              f"{ev.per_dump(fix).tolist()}", flush=True)
         if not improved:
             break
-    clean = {k: v for k, v in sorted(fix.items()) if v != (0, 0)}
-    with open(args.out, "w") as f:
-        json.dump({str(k): v for k, v in clean.items()}, f, indent=1)
+    clean = _save(fix, args.out)
     print(f"final: {base}/{total} ({100*(1-base/total):.3f}% exact); "
           f"{len(clean)} entries -> {args.out}", flush=True)
 
