@@ -114,9 +114,18 @@ def _head_body(
     iwl, iwh, is0, is1, is2, is3,      # inverse tables, stacked (L, ...)
     fwl, fwh, fs0, fs1, fs2, fs3,      # forward tables, stacked (L+1, ...)
     Qr, Pr, rm, sg,                    # automorphism constants
-    xlo, xhi,                          # (L, bp, 2, rows, LANES) blocks
-    olo, ohi,                          # (L+1, bp, L+1, rows, LANES) blocks
+    xlo, xhi,                          # (L, bp, rows, LANES) b-part blocks
+    olo, ohi,                          # (L+1, bp, L, rows, LANES) blocks
 ):
+    """INTT -> automorphism -> digit raise -> NTT on the b part only.
+
+    The a part ("rider") never enters this kernel: the automorphism is a
+    pure permutation of NTT evaluation points (slot k's point psi^(2
+    bitrev(k)+1) maps to point*e), so the host applies it as one XLA
+    gather on the NTT-domain planes instead of the INTT/aut/NTT round
+    trip the reference's coefficient-domain vaut forces (5 of the
+    keyswitch's 19 poly-transforms removed; reference: the 122-instr
+    program, sim/vp/isram_file_generator/keyswitch.mem)."""
     L = cfg.n_limbs
     moduli = cfg.moduli
     logn = (rows * LANES).bit_length() - 1
@@ -126,26 +135,21 @@ def _head_body(
     rm_ = rm[...]
     sg_ = sg[...]
 
-    digits, riders = [], []
+    digits = []
     for m in range(L):
         tbl = tuple(
             ns._TblSlice(r, m) for r in (iwl, iwh, is0, is1, is2, is3)
         )
-        _, inv = ns._make_stage_loops(tbl, moduli[m], rows, 2 * bp, logn)
-        lo = xlo[m].reshape(2 * bp, rows, LANES)
-        hi = xhi[m].reshape(2 * bp, rows, LANES)
-        lo, hi = inv(lo, hi)
+        _, inv = ns._make_stage_loops(tbl, moduli[m], rows, bp, logn)
+        lo, hi = inv(xlo[m], xhi[m])
         alo, ahi = [], []
-        for p in range(2 * bp):
+        for p in range(bp):
             tl, th = _aut_tile(
                 lo[p], hi[p], moduli[m], Q_, P_, rm_, sg_, nbits
             )
             alo.append(tl)
             ahi.append(th)
-        lo = jnp.stack(alo).reshape(bp, 2, rows, LANES)
-        hi = jnp.stack(ahi).reshape(bp, 2, rows, LANES)
-        digits.append((lo[:, 0], hi[:, 0]))   # aut(INTT(b_m))
-        riders.append((lo[:, 1], hi[:, 1]))   # aut(INTT(a_m))
+        digits.append((jnp.stack(alo), jnp.stack(ahi)))  # aut(INTT(b_m))
 
     for mm in range(L + 1):
         polys = []
@@ -157,21 +161,18 @@ def _head_body(
             else:
                 x = r32.modred64(*d, moduli[mm])
             polys.append(x)
-        polys.append(riders[mm] if mm < L else polys[0])
         slo = jnp.stack([p[0] for p in polys], axis=1)
         shi = jnp.stack([p[1] for p in polys], axis=1)
         tbl = tuple(
             ns._TblSlice(r, mm) for r in (fwl, fwh, fs0, fs1, fs2, fs3)
         )
-        fwd, _ = ns._make_stage_loops(
-            tbl, moduli[mm], rows, bp * (L + 1), logn
-        )
+        fwd, _ = ns._make_stage_loops(tbl, moduli[mm], rows, bp * L, logn)
         rlo, rhi = fwd(
-            slo.reshape(bp * (L + 1), rows, LANES),
-            shi.reshape(bp * (L + 1), rows, LANES),
+            slo.reshape(bp * L, rows, LANES),
+            shi.reshape(bp * L, rows, LANES),
         )
-        olo[mm] = rlo.reshape(bp, L + 1, rows, LANES)
-        ohi[mm] = rhi.reshape(bp, L + 1, rows, LANES)
+        olo[mm] = rlo.reshape(bp, L, rows, LANES)
+        ohi[mm] = rhi.reshape(bp, L, rows, LANES)
 
 
 # ------------------------------------------------------------ tail kernel
@@ -180,7 +181,9 @@ def _tail_body(
     iwl, iwh, is0, is1, is2, is3,      # inverse tables for sp (1, ...)
     fwl, fwh, fs0, fs1, fs2, fs3,      # forward tables, stacked (L, ...)
     klo, khi,                          # KSK planes (2L(L+1), rows, LANES)
-    nlo, nhi,                          # head output (L+1, bp, L+1, ...)
+    ks0, ks1, ks2, ks3,                # KSK Shoup limb planes (or None x4)
+    nlo, nhi,                          # head output (L+1, bp, L, ...)
+    rlo, rhi,                          # rider planes (L, bp, rows, LANES)
     alo_out, ahi_out,                  # (L, bp, 2, rows, LANES) blocks
 ):
     L = cfg.n_limbs
@@ -194,31 +197,50 @@ def _tail_body(
         vlo, vhi = r32.const64(v)
         return jnp.broadcast_to(vlo, shape), jnp.broadcast_to(vhi, shape)
 
-    # inner products under every residue (KSK resident in VMEM)
+    # inner products under every residue (KSK resident in VMEM).  With a
+    # PREPARED key (ks0..ks3 = 16-bit limb planes of floor(k 2^64/q),
+    # computed once at key load — the TPU form of the reference's DMA
+    # cmd-0 key load, src/mem_buf/axi_data_rd_top.sv), each product is a
+    # Shoup multiply (~19 VPU mults) instead of a full Barrett (~38),
+    # the terms accumulate lazily (< 3q each, < 3Lq total < 2^63 for
+    # L <= 16), and one modred closes the sum.
     c = [[None, None] for _ in range(L + 1)]
-    riders = [None] * L
+    riders = [(rlo[m], rhi[m]) for m in range(L)]
+    shoup = ks0 is not None
     for m in range(L + 1):
         q = moduli[m]
         glo = nlo[m]
         ghi = nhi[m]
-        if m < L:
-            riders[m] = (glo[:, L], ghi[:, L])
         for part in (0, 1):
-            acc = r32.mulmod64(
-                glo[:, 0], ghi[:, 0],
-                klo[stride * m + part][None], khi[stride * m + part][None],
-                q,
-            )
-            for j in range(1, L):
-                t = r32.mulmod64(
-                    glo[:, j], ghi[:, j],
-                    klo[stride * m + 2 * j + part][None],
-                    khi[stride * m + 2 * j + part][None],
+            if shoup:
+                acc = (None, None)
+                for j in range(L):
+                    p = stride * m + 2 * j + part
+                    t = ns._shoup_mul_limb(
+                        glo[:, j], ghi[:, j],
+                        klo[p][None], khi[p][None],
+                        ks0[p][None], ks1[p][None],
+                        ks2[p][None], ks3[p][None],
+                        q,
+                    )
+                    acc = t if j == 0 else r32.add64(*acc, *t)
+                c[m][part] = r32.modred64(*acc, q)
+            else:
+                acc = r32.mulmod64(
+                    glo[:, 0], ghi[:, 0],
+                    klo[stride * m + part][None],
+                    khi[stride * m + part][None],
                     q,
                 )
-            # fold the running sum
-                acc = r32.addmod64(*acc, *t, q)
-            c[m][part] = acc
+                for j in range(1, L):
+                    t = r32.mulmod64(
+                        glo[:, j], ghi[:, j],
+                        klo[stride * m + 2 * j + part][None],
+                        khi[stride * m + 2 * j + part][None],
+                        q,
+                    )
+                    acc = r32.addmod64(*acc, *t, q)
+                c[m][part] = acc
 
     # mod-down by P with (P-1)/2 rounding
     tbl = tuple(
@@ -327,9 +349,36 @@ def _chunk(nb: int) -> int:
     return bp
 
 
+@functools.lru_cache(maxsize=None)
+def _ntt_aut_perm_np(n: int, e: int) -> np.ndarray:
+    """NTT-domain automorphism as a gather: out[k] = in[perm[k]].
+
+    Output slot k holds the evaluation at psi^(2 bitrev(k) + 1);
+    X -> X^e relabels point j to point j*e mod 2n, so
+    perm[k] = bitrev((j_k * e mod 2n - 1) / 2).  Verified equal to
+    NTT(aut_coeff(INTT(.))) word-for-word on random data."""
+    logn = n.bit_length() - 1
+    k = np.arange(n)
+    br = np.zeros(n, dtype=np.int64)
+    for b in range(logn):
+        br |= ((k >> b) & 1) << (logn - 1 - b)
+    t = ((2 * br + 1) * e % (2 * n) - 1) // 2
+    kp = np.zeros(n, dtype=np.int64)
+    for b in range(logn):
+        kp |= ((t >> b) & 1) << (logn - 1 - b)
+    return kp.astype(np.int32)
+
+
+def ntt_domain_aut(plane, e: int, n: int):
+    """Apply the automorphism to NTT-domain data laid out (..., n):
+    gather over the last axis, batch-shape agnostic."""
+    perm = jnp.asarray(_ntt_aut_perm_np(n, e))
+    return jnp.take(plane, perm, axis=-1)
+
+
 def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
-    """(L, nb, 2, rows, LANES) ciphertext planes ([b_m, a_m] per limb)
-    -> (L+1, nb, L+1, rows, LANES) raised digit/rider planes."""
+    """(L, nb, rows, LANES) b-part planes
+    -> (L+1, nb, L, rows, LANES) raised digit planes."""
     L = cfg.n_limbs
     nb = xlo.shape[1]
     rows = cfg.n // LANES
@@ -354,22 +403,22 @@ def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
                 ]
                 + [
                     pl.BlockSpec(
-                        (L, bp, 2, rows, LANES),
-                        lambda c: (0, c, 0, 0, 0),
+                        (L, bp, rows, LANES),
+                        lambda c: (0, c, 0, 0),
                     )
                 ]
                 * 2
             ),
             out_specs=[
                 pl.BlockSpec(
-                    (L + 1, bp, L + 1, rows, LANES),
+                    (L + 1, bp, L, rows, LANES),
                     lambda c: (0, c, 0, 0, 0),
                 )
             ]
             * 2,
             out_shape=[
                 jax.ShapeDtypeStruct(
-                    (L + 1, nb, L + 1, rows, LANES), jnp.uint32
+                    (L + 1, nb, L, rows, LANES), jnp.uint32
                 )
             ]
             * 2,
@@ -379,16 +428,25 @@ def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
         return call(*consts, xlo, xhi)
 
 
-def ks_tail(nlo, nhi, klo, khi, cfg: HEConfig):
-    """Raised planes + KSK -> rotated ciphertext planes
-    (L, nb, 2, rows, LANES): [:, :, 0] = a_rot, [:, :, 1] = b_rot."""
+def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
+    """Raised digit planes + NTT-domain riders + KSK -> rotated
+    ciphertext planes (L, nb, 2, rows, LANES): [:, :, 0] = a_rot,
+    [:, :, 1] = b_rot.  kshoup: optional (s0, s1, s2, s3) 16-bit limb
+    planes of the key's Shoup constants (see prepare_ksk)."""
     L = cfg.n_limbs
     nb = nlo.shape[1]
     rows = cfg.n // LANES
     bp = _chunk(nb)
     itbl, ftbl = _tail_tables(cfg)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl)]
-    body = functools.partial(_tail_body, cfg, bp, rows)
+    nks = 4 if kshoup is not None else 0
+
+    def body(*refs):
+        ks = refs[14:14 + nks] if nks else (None,) * 4
+        _tail_body(
+            cfg, bp, rows, *refs[:14], *ks, *refs[14 + nks:]
+        )
+
     full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
     with jax.enable_x64(False):
         call = pl.pallas_call(
@@ -396,11 +454,17 @@ def ks_tail(nlo, nhi, klo, khi, cfg: HEConfig):
             grid=(nb // bp,),
             in_specs=(
                 [full(t.shape) for t in consts]
-                + [full(klo.shape)] * 2
+                + [full(klo.shape)] * (2 + nks)
                 + [
                     pl.BlockSpec(
-                        (L + 1, bp, L + 1, rows, LANES),
+                        (L + 1, bp, L, rows, LANES),
                         lambda c: (0, c, 0, 0, 0),
+                    )
+                ]
+                * 2
+                + [
+                    pl.BlockSpec(
+                        (L, bp, rows, LANES), lambda c: (0, c, 0, 0)
                     )
                 ]
                 * 2
@@ -418,13 +482,69 @@ def ks_tail(nlo, nhi, klo, khi, cfg: HEConfig):
             interpret=_interp(),
             compiler_params=_params(),
         )
-        return call(*consts, klo, khi, nlo, nhi)
+        return call(
+            *consts, klo, khi, *(kshoup or ()), nlo, nhi, rlo, rhi
+        )
+
+
+_KSK_CACHE: dict = {}
+
+
+def prepare_ksk(ksk, cfg: HEConfig):
+    """Device-key preparation: compute floor(k * 2^64 / q_m) for every
+    KSK coefficient (the Shoup companion of the key, host-side bigint,
+    once per key) and return (klo, khi, s0, s1, s2, s3) planes shaped
+    (2L(L+1), rows, LANES).  The analogue of the reference's one-time
+    key DMA into ksk_mem (reference: sim/top/top_noaxilite_tb.sv:372).
+
+    Results are cached by the identity of the input planes (the cache
+    holds a reference, so ids stay valid)."""
+    klo, khi = ksk
+    ck = (id(klo), id(khi))
+    hit = _KSK_CACHE.get(ck)
+    if hit is not None and hit[0] is klo and hit[1] is khi:
+        return hit[2]
+    L = cfg.n_limbs
+    rows = cfg.n // LANES
+    k64 = (
+        np.asarray(klo).astype(np.uint64)
+        | (np.asarray(khi).astype(np.uint64) << np.uint64(32))
+    ).reshape(2 * L * (L + 1), cfg.n)
+    s = np.empty_like(k64)
+    stride = 2 * L
+    for p in range(k64.shape[0]):
+        q = cfg.moduli[p // stride]
+        s[p] = (
+            (k64[p].astype(object) << 64) // q
+        ).astype(np.uint64)
+    m16 = np.uint64(0xFFFF)
+    limbs = [
+        ((s >> np.uint64(16 * i)) & m16)
+        .astype(np.uint32)
+        .reshape(-1, rows, LANES)
+        for i in range(4)
+    ]
+    out = (
+        jnp.asarray(np.asarray(klo).reshape(-1, rows, LANES)),
+        jnp.asarray(np.asarray(khi).reshape(-1, rows, LANES)),
+        *(jnp.asarray(v) for v in limbs),
+    )
+    if len(_KSK_CACHE) >= 8:
+        _KSK_CACHE.clear()
+    _KSK_CACHE[ck] = (klo, khi, out)
+    return out
 
 
 def rotate_planes(a, b, step_exp: int, ksk, cfg: HEConfig):
     """Full rotation in two launches.  a, b: (lo, hi) planes (..., L, N);
     ksk: (lo, hi) of (2L(L+1), N).  Returns (a_rot, b_rot) like
-    he_planes.rotate."""
+    he_planes.rotate.
+
+    The a part rides outside the kernels: its automorphism is the pure
+    NTT-domain permutation `ntt_domain_aut` (one XLA gather), not the
+    reference's coefficient-domain INTT/vaut/NTT round trip.  When the
+    key planes are concrete (not jit tracers) they are Shoup-prepared
+    once and the tail's inner products run 2x cheaper."""
     L = cfg.n_limbs
     rows = cfg.n // LANES
     alo, ahi = a
@@ -437,16 +557,21 @@ def rotate_planes(a, b, step_exp: int, ksk, cfg: HEConfig):
         t = lo.reshape(nb, L, rows, LANES)
         return jnp.moveaxis(t, 1, 0)
 
-    xlo = jnp.stack([pack(blo), pack(alo)], axis=2)  # (L, nb, 2, r, l)
-    xhi = jnp.stack([pack(bhi), pack(ahi)], axis=2)
-    nlo, nhi = ks_head(xlo, xhi, step_exp, cfg)
+    nlo, nhi = ks_head(pack(blo), pack(bhi), step_exp, cfg)
+    rlo = pack(ntt_domain_aut(alo, step_exp, cfg.n))
+    rhi = pack(ntt_domain_aut(ahi, step_exp, cfg.n))
     klo, khi = ksk
-    olo, ohi = ks_tail(
-        nlo, nhi,
-        klo.reshape(2 * L * (L + 1), rows, LANES),
-        khi.reshape(2 * L * (L + 1), rows, LANES),
-        cfg,
-    )
+    if isinstance(klo, jax.core.Tracer):  # key not concrete: no prepare
+        kplanes = (
+            klo.reshape(2 * L * (L + 1), rows, LANES),
+            khi.reshape(2 * L * (L + 1), rows, LANES),
+        )
+        kshoup = None
+    else:
+        klo2, khi2, *kshoup = prepare_ksk(ksk, cfg)
+        kplanes = (klo2, khi2)
+        kshoup = tuple(kshoup)
+    olo, ohi = ks_tail(nlo, nhi, rlo, rhi, *kplanes, cfg, kshoup=kshoup)
 
     def unpack(t, part):
         # (L, nb, 2, rows, LANES) -> (..., L, N)

@@ -1,16 +1,18 @@
 """Fit per-entry phase-factor corrections for the encoder's Xilinx FFT.
 
 The xfft core's stored phase factors are round-to-nearest of
-2^32 e^{2 pi i j/2048} on MOST entries, but some carry +-1..2 LSB
-generator noise (docs/ENCODER.md).  All radix-2^2 levels index one
-shared ROM (j = q*n*2048/L), so a handful of per-entry corrections can
-be identified from the 14 true RTL encode dumps by coordinate descent
-on the total word-mismatch count.
+2^33 e^{2 pi i qn/L} on MOST entries (per-stage-pair ROMs, 1.33
+format), but some carry small generator noise (docs/ENCODER.md).  The
+corrections are identified from the 14 true RTL encode dumps by
+coordinate descent on (mismatching words, total |err|); candidates no
+data flows through are pruned via the raw-magnitude stats hook.
 
-    python tools/encoder_fit.py [--strides 256,64,16] [--deltas 1,2]
-                                [--rounds 8] [--out fits.json]
+    python tools/encoder_fit.py [--levels 8,32,128,512,2048]
+                                [--deltas 1,2] [--rounds 8]
+                                [--out tools/encoder_fits.json]
 
-The fitted table is meant to be pasted into encoder_hw.PHASE_FIX.
+Checkpoints after every improvement; seeds from --out when it exists.
+The fitted table ships as encoder_hw.PHASE_FIX.
 """
 import argparse
 import glob
@@ -122,6 +124,19 @@ class Evaluator:
             )
         return bad
 
+    def objective(self, fix: dict) -> tuple:
+        """(mismatching words, total |err|): the second key lets the
+        descent cross plateaus where an entry shrinks errors without
+        yet zeroing any word."""
+        m = self._m(fix)
+        bad = abserr = 0
+        for limb in range(2):
+            d = np.abs(m - self.gold[:, limb])
+            v = self.valid[:, limb]
+            bad += int(((d != 0) & v).sum())
+            abserr += int(d[v].sum())
+        return bad, abserr
+
     def live_entries(self) -> set:
         """(L, q, n) entries some nonzero data actually flows through —
         only these can affect any output."""
@@ -165,10 +180,11 @@ def main():
     if seed:
         fix.update(load_fits(seed))
         print(f"seeded {len(fix)} entries from {seed}", flush=True)
-    base = ev.mismatches(fix)
+    base = ev.objective(fix)
     total = int(ev.valid.sum())
-    print(f"baseline: {base}/{total} mismatching "
-          f"({100 * (1 - base / total):.3f}% exact)", flush=True)
+    print(f"baseline: {base[0]}/{total} mismatching "
+          f"({100 * (1 - base[0] / total):.3f}% exact), |err| {base[1]}",
+          flush=True)
 
     deltas = []
     for d in (int(v) for v in args.deltas.split(",")):
@@ -197,7 +213,7 @@ def main():
                     trial[comp] = cur[comp] + d
                     f2 = dict(fix)
                     f2[key] = tuple(trial)
-                    bad = ev.mismatches(f2)
+                    bad = ev.objective(f2)
                     if bad < best_bad:
                         best_d, best_bad = d, bad
                 if best_d:
@@ -210,15 +226,17 @@ def main():
                     print(f"  [{time.time()-t0:6.0f}s] W_{key[0]}^"
                           f"{{{key[1]}*{key[2]}}}"
                           f"{'re' if comp == 0 else 'im'} += {best_d} -> "
-                          f"{base} bad ({100*(1-base/total):.3f}%)",
+                          f"{base[0]} bad / |err| {base[1]} "
+                          f"({100*(1-base[0]/total):.3f}%)",
                           flush=True)
         clean = _save(fix, args.out)
-        print(f"round {rnd}: {base} bad, {len(clean)} fixes; per-dump "
+        print(f"round {rnd}: {base[0]} bad / |err| {base[1]}, "
+              f"{len(clean)} fixes; per-dump "
               f"{ev.per_dump(fix).tolist()}", flush=True)
         if not improved:
             break
     clean = _save(fix, args.out)
-    print(f"final: {base}/{total} ({100*(1-base/total):.3f}% exact); "
+    print(f"final: {base[0]}/{total} ({100*(1-base[0]/total):.3f}% exact); "
           f"{len(clean)} entries -> {args.out}", flush=True)
 
 
