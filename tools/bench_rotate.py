@@ -5,6 +5,7 @@ tools/stream_marginal.py for why one-shot timings lie here.
 
 ALOHA_KS_KERNEL=0 reverts to the 4-launch multi-modulus form for A/B
 against the fused head/tail keyswitch kernels."""
+import functools
 import os, time
 import numpy as np
 import jax, jax.numpy as jnp
@@ -28,10 +29,15 @@ ksk = keys.gen_rotation_key(sk, 2, CFG, rng=np.random.default_rng(2))
 pa = he_planes.from_u64(a)
 pb = he_planes.from_u64(b)
 pk = he_planes.from_u64(ksk)
+# The key is CLOSED OVER, not a jit argument: concrete planes let
+# ks_kernel Shoup-prepare the KSK once per key (a traced key falls back
+# to the Barrett inner products).  ALOHA_KS_TRACED_KEY=1 passes the key
+# through jit instead, for A/B against the Barrett tail.
+TRACED_KEY = bool(os.environ.get("ALOHA_KS_TRACED_KEY"))
 
-def chain(pa, pb, k):
+def chain(pa, pb, k, key=pk):
     for _ in range(k):
-        pa, pb = he_planes.rotate((pa, pb), 2, pk, CFG)
+        pa, pb = he_planes.rotate((pa, pb), 2, key, CFG)
     return pa, pb
 
 def stamp(msg):
@@ -41,7 +47,11 @@ stamp(f"impl: {dispatch.get_impl()} ks_kernel="
       f"{os.environ.get('ALOHA_KS_KERNEL', '1')} B={B} K={KS}")
 res = {}
 for K in KS:
-    f = jax.jit(lambda x, y, K=K: chain(x, y, K))
+    if TRACED_KEY:
+        f = jax.jit(lambda x, y, kk, K=K: chain(x, y, K, kk))
+        f = functools.partial(lambda g, x, y: g(x, y, pk), f)
+    else:
+        f = jax.jit(lambda x, y, K=K: chain(x, y, K))
     t0 = time.perf_counter()
     r = f(pa, pb)
     _ = np.asarray(r[0][0][0, 0, 0])
