@@ -4,6 +4,9 @@ tunnel's latency variance."""
 import os, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from aloha_tpu.config import DEFAULT_CONFIG as CFG
 from aloha_tpu.ops import ntt_stream
 
