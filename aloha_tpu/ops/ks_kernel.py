@@ -524,11 +524,16 @@ def prepare_ksk(ksk, cfg: HEConfig):
         .reshape(-1, rows, LANES)
         for i in range(4)
     ]
-    out = (
-        jnp.asarray(np.asarray(klo).reshape(-1, rows, LANES)),
-        jnp.asarray(np.asarray(khi).reshape(-1, rows, LANES)),
-        *(jnp.asarray(v) for v in limbs),
-    )
+    # Materialize OUTSIDE any live trace: prepare_ksk is reached from
+    # inside jit (the key is closed over concretely), and jnp.asarray
+    # under a trace yields trace-local constants — caching those leaks
+    # tracers into the next jit of the same key.
+    with jax.ensure_compile_time_eval():
+        out = (
+            jnp.asarray(np.asarray(klo).reshape(-1, rows, LANES)),
+            jnp.asarray(np.asarray(khi).reshape(-1, rows, LANES)),
+            *(jnp.asarray(v) for v in limbs),
+        )
     if len(_KSK_CACHE) >= 8:
         _KSK_CACHE.clear()
     _KSK_CACHE[ck] = (klo, khi, out)

@@ -212,3 +212,48 @@ def test_fused_rotate_three_limbs_small_ring(monkeypatch):
     )
     assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
+
+
+def test_prepared_ksk_survives_retracing(monkeypatch):
+    """prepare_ksk is reached from INSIDE jit when the key is closed over
+    concretely; its cached planes must be trace-independent.  Regression:
+    the cache used to hold jnp constants minted during the first trace,
+    and the second jit of the same key died with UnexpectedTracerError."""
+    import jax
+
+    from aloha_tpu import he_np, he_planes, keys
+    from aloha_tpu.config import HEConfig
+
+    monkeypatch.setenv("ALOHA_KS_KERNEL", "1")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    cfg = HEConfig(
+        n=1024,
+        moduli=(576460752303439873, 576460752303702017),
+        psi=(94501300158356233, 476326773003166877),
+        ipsi=(351196243136101305, 354588920078794975),
+    )
+    L, N = cfg.n_limbs, cfg.n
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, cfg.moduli[0], size=(L, N), dtype=np.uint64)
+    b = rng.integers(0, cfg.moduli[0], size=(L, N), dtype=np.uint64)
+    sk = keys.gen_secret(cfg, rng=np.random.default_rng(5))
+    ksk = keys.gen_rotation_key(sk, 2, cfg, rng=np.random.default_rng(6))
+    pk = he_planes.from_u64(ksk)
+
+    def rot1(pa, pb):
+        return he_planes.rotate((pa, pb), 2, pk, cfg)
+
+    def rot2(pa, pb):  # a distinct jit -> a second trace of the same key
+        oa, ob = he_planes.rotate((pa, pb), 2, pk, cfg)
+        return oa, ob
+
+    pa, pb = he_planes.from_u64(a), he_planes.from_u64(b)
+    oa, ob = jax.jit(rot1)(pa, pb)
+    oa2, ob2 = jax.jit(rot2)(pa, pb)
+    want = he_np.rotate(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()), 2, ksk, cfg
+    )
+    for got in (oa, oa2):
+        assert np.array_equal(np.asarray(he_planes.to_u64(got)), want.a)
+    for got in (ob, ob2):
+        assert np.array_equal(np.asarray(he_planes.to_u64(got)), want.b)
