@@ -6,6 +6,8 @@ sizes in one process so tunnel-epoch swings hit both equally.
 
     ALOHA_STREAM_BP=32 python tools/batch_ab.py [--batches 256,1024] [--k 8,24]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import os
 import time

@@ -1,4 +1,6 @@
 #!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Per-op throughput bench: the reference's four kernels + ct-ct multiply.
 
     python tools/bench_ops.py [--batch 64] [--iters 10]

@@ -1,4 +1,6 @@
 #!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Per-op throughput bench on the native u32-plane ciphertext path.
 
     python tools/bench_planes.py [--batch 64] [--iters 16] [--ops hom_add,...]

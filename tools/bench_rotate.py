@@ -5,6 +5,8 @@ tools/stream_marginal.py for why one-shot timings lie here.
 
 ALOHA_KS_KERNEL=0 reverts to the 4-launch multi-modulus form for A/B
 against the fused head/tail keyswitch kernels."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import os, time
 import numpy as np

@@ -1,4 +1,6 @@
 #!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Scaling-efficiency bench: batched rotations over a device mesh.
 
 Run the SAME command on every host of a slice (or once on one host):

@@ -1,4 +1,6 @@
 """Bisect: does a minimal manual-DMA pallas kernel compile on this stack?"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time, functools
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

@@ -14,6 +14,8 @@ data flows through are pruned via the raw-magnitude stats hook.
 Checkpoints after every improvement; seeds from --out when it exists.
 The fitted table ships as encoder_hw.PHASE_FIX.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import glob
 import json

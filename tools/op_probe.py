@@ -7,6 +7,8 @@ a VMEM-resident (BP, 64, 128) u32-plane pair inside a single pallas call;
 cost = (t(REPS_HI) - t(REPS_LO)) / (REPS_HI - REPS_LO).  Used to decide
 which term of the ~3.5 us/poly stage budget to attack next.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import os
 import sys

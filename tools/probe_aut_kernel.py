@@ -11,6 +11,8 @@ Data rides as u16 limb planes through the f32 matmuls (exact: one-hot
 contraction, values < 2^16 < 2^24).  Run with ALOHA_STREAM_INTERPRET=1
 for CPU validation; without it, compiles on the TPU.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 

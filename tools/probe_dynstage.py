@@ -4,6 +4,8 @@ load, dynamic partner bitmask)?  This is the compile-time fix direction
 from tools/dma_bisect_stages.py: 13 unrolled stages blow up the remote
 Mosaic compile; a loop body traced once should not.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

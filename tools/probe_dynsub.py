@@ -1,6 +1,8 @@
 """Probe: dynamic-shift pltpu.roll on the SUBLANE axis (axis 0) inside a
 fori_loop.  If this works, row stages can also run under a loop and the
 streaming NTT body shrinks to two tiny loops."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

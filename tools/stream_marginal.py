@@ -1,6 +1,8 @@
 """Marginal throughput of the streaming NTT.  Chained launches; the
 K-scaling slope removes dispatch overhead; min-of-iters tames the
 tunnel's latency variance."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -3,6 +3,8 @@
 (b) the loops with add-only butterflies (no multiplies),
 (c) the loops with butterflies but no rolls (partner = self),
 on a resident (bp*64, 128) block iterated in-kernel many times."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

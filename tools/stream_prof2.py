@@ -6,6 +6,8 @@ Variants (lane stages only, REPS transforms on resident data):
   statS-N   : same but shift fixed t=16 (no dynamic roll shift)
   nobfly-N  : rolls + selects only, no butterfly arithmetic
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

@@ -1,5 +1,7 @@
 """Pure-compute cost of the current streaming stages (no DMA): REPS
 forward transforms on resident VMEM data, marginal over REPS."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

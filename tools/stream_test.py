@@ -1,5 +1,7 @@
 """Verify the streaming NTT kernel on hardware vs the NumPy golden model,
 then measure throughput with the chained+readback protocol."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import numpy as np
 import jax
