@@ -311,7 +311,34 @@ def _bench():
             dt = time.perf_counter() - t0
             best3 = max(best3, b3 * k3 / dt)
         if best3 > ntts_per_sec:
+            ntts_per_sec = best3
             emit(best3)
+
+        # tier 4: pipelined multi-stream — S independent chains issued
+        # back-to-back (JAX dispatch is async) so the ~30 ms tunnel
+        # round-trip overlaps device compute instead of serializing with
+        # it.  This is the production protocol: sustained device
+        # throughput under load.  Wall time covers ALL completed work
+        # (issue of every chain through readback of every result).
+        S = int(os.environ.get("ALOHA_BENCH_STREAMS", "4"))
+        xs = [
+            jax.block_until_ready(
+                jax.jit(lambda v, i=i: jax.tree.map(
+                    lambda t: jnp.roll(t[:b3], i, axis=0), v))(xr)
+            )
+            for i in range(S)
+        ]
+        best4 = 0.0
+        for _trial in range(4):
+            t0 = time.perf_counter()
+            outs = [cfn3(x) for x in xs]
+            for out in outs:
+                leaf = jax.tree.leaves(out)[0]
+                _ = np.asarray(leaf[(0,) * leaf.ndim])
+            dt = time.perf_counter() - t0
+            best4 = max(best4, S * b3 * k3 / dt)
+        if best4 > ntts_per_sec:
+            emit(best4)
 
 
 if __name__ == "__main__":
