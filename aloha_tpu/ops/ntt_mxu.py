@@ -1,0 +1,486 @@
+"""4-step MXU NTT: the butterfly arithmetic as int8 digit matmuls.
+
+The TPU re-design of the reference's 832-beat NTT engine (reference:
+src/vp/ntt/ntt_fsm.sv:49,68) that moves the multiply work from the VPU
+to the MXU.  With coefficient j at (row r = j // 128, lane l = j % 128),
+the negacyclic transform factors EXACTLY (proven in
+tools/mxu_factor_proof.py for all three moduli, fwd + inv) as
+
+    Y[kr, l]  = sum_r x[128 r + l] * eta^(r (2 kr + 1))      rows: (R x R) matmul
+    W[kr, l]  = D[kr, l] * Y[kr, l]                          elementwise twiddle
+    Z[kr, kl] = sum_l W[kr, l] * Omega^(l kl)                lanes: (128 x 128) matmul
+    out[128 ir + il] = Z[rev(ir), rev7(il)]
+
+with eta = psi^128, Omega = psi^(2R), D[kr, l] = psi^((2 kr + 1) l); the
+bitrev-13 output order separates as rev_lr (x) rev7 and is baked into the
+constant matrices.  The inverse runs the mirror (lanes -> D^-1 -> rows)
+with 1/R and 1/128 folded into the matrices.
+
+Exact 60-bit arithmetic on the int8 MXU:
+
+* Data digits: 8 biased bytes s_k = byte_k(x) - 128 in [-128, 127]
+  (computed as (byte ^ 0x80) reinterpreted int8).  The bias is linear, so
+  it is repaired by a precomputed additive constant (the matrix row sums).
+* Matrix digits: the digit weight 2^(8k) is FOLDED INTO THE MATRIX first
+  (A_k = 2^(8k) M mod q, entries < q), then each A_k is split into 8
+  balanced signed base-256 digits in [-128, 127].  Products therefore
+  carry no cross-weights: accumulator j only ever receives digit-j
+  products, so 8 int32 accumulators suffice and the reassembled value
+  V = sum_j 2^(8j) e_j stays under 2^82.
+* One dot per accumulator: the 8 data planes concatenate along the
+  contraction axis (K = 8R or 1024), so the MXU performs the whole
+  k-accumulation internally - 16 dot_generals per chunk total.
+* Reduction: V < 2^82 folds once through 2^59 = -delta (mod q), with
+  delta = q - 2^59 sparse for all NTT moduli (a few shifted adds), into
+  a u64 W == V (mod q); the middle twiddle is a Shoup multiply by the
+  per-position constant D (quotient via 16-bit limb column sums, the
+  same form as ops/ntt_stream); the final fold + two condsubs emit
+  canonical [0, q).
+
+The HBM <-> VMEM streaming shell (double-buffered chunk DMA) is shared
+with ops/ntt_stream via _chunk_pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aloha_tpu import ntt_np
+from aloha_tpu import rns_jax as r32
+from aloha_tpu.ops import ntt_pallas as K
+from aloha_tpu.ops import ntt_stream as S
+from aloha_tpu.ops.ntt_pallas import LANES
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _OK = True
+except Exception:  # pragma: no cover
+    _OK = False
+
+I8 = jnp.int8
+I32 = jnp.int32
+U32 = jnp.uint32
+NDIG = 8  # base-256 digits covering u64
+
+
+def available() -> bool:
+    return _OK and K.available()
+
+
+def _dot_mode() -> str:
+    return os.environ.get("ALOHA_MXU_DOT", "i8")
+
+
+# ------------------------------------------------------------------ tables
+def _balanced_digits(v: int) -> list[int]:
+    """Signed base-256 digits in [-128, 127]; exact for v < 2^62."""
+    out = []
+    x = int(v)
+    for _ in range(NDIG):
+        b = x & 0xFF
+        if b >= 128:
+            b -= 256
+        out.append(b)
+        x = (x - b) >> 8
+    assert x == 0, "value out of signed-digit range"
+    return out
+
+
+def _digitize_folded(mat: np.ndarray, q: int) -> tuple[np.ndarray, np.ndarray]:
+    """mat (a, b) of ints mod q -> (cat (8, a, 8b) int8, rowbias (a,) u64).
+
+    cat[j, i, k*b + c] = digit_j of (2^(8k) * mat[i, c] mod q); rowbias is
+    the +128 data-bias repair: 128 * sum_{k, c} (2^(8k) mat[i, c] mod q).
+    """
+    a, b = mat.shape
+    cat = np.zeros((NDIG, a, NDIG * b), dtype=np.int8)
+    bias = np.zeros(a, dtype=object)
+    for k in range(NDIG):
+        fold = (mat.astype(object) << (8 * k)) % q
+        bias += fold.sum(axis=1)
+        for i in range(a):
+            for c in range(b):
+                digs = _balanced_digits(fold[i, c])
+                for j in range(NDIG):
+                    cat[j, i, k * b + c] = digs[j]
+    bias = np.array([(128 * int(v)) % q for v in bias], dtype=np.uint64)
+    return cat, bias
+
+
+def _rev(x: int, bits: int) -> int:
+    return ntt_np.bit_reverse(x, bits)
+
+
+def _const_plane(vec: np.ndarray, rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """(rows,) or (LANES,) u64 vector -> broadcast (rows, LANES) u32 pair."""
+    v = vec.astype(np.uint64)
+    if v.shape[0] == rows:
+        full = np.broadcast_to(v[:, None], (rows, LANES))
+    else:
+        full = np.broadcast_to(v[None, :], (rows, LANES))
+    lo = (full & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (full >> np.uint64(32)).astype(np.uint32)
+    return np.ascontiguousarray(lo), np.ascontiguousarray(hi)
+
+
+def _shoup_planes(mat: np.ndarray, q: int):
+    """(a, b) u64 constants -> (wlo, whi, s0..s3) u32/16-bit-limb planes."""
+    w = mat.astype(object)
+    s = np.array([[int(x) * (1 << 64) // q for x in row] for row in w],
+                 dtype=object)
+    w64 = mat.astype(np.uint64)
+    s64 = np.array([[x & ((1 << 64) - 1) for x in row] for row in s],
+                   dtype=np.uint64)
+    wlo = (w64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    whi = (w64 >> np.uint64(32)).astype(np.uint32)
+    m = np.uint64(0xFFFF)
+    s0 = (s64 & m).astype(np.uint32)
+    s1 = ((s64 >> np.uint64(16)) & m).astype(np.uint32)
+    s2 = ((s64 >> np.uint64(32)) & m).astype(np.uint32)
+    s3 = (s64 >> np.uint64(48)).astype(np.uint32)
+    return wlo, whi, s0, s1, s2, s3
+
+
+def _bias_bits(kdim: int) -> int:
+    """Accumulator bias exponent: |e_j| <= K * 128 * 128 = K << 14."""
+    return (kdim << 14).bit_length() - 1
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_tables_np(n: int, q: int, psi: int):
+    R = n // LANES
+    lr = R.bit_length() - 1
+    eta = pow(psi, LANES, q)
+    omg = pow(psi, 2 * R, q)
+    M = np.array(
+        [[pow(eta, r * (2 * _rev(ir, lr) + 1), q) for r in range(R)]
+         for ir in range(R)], dtype=object)
+    D = np.array(
+        [[pow(psi, (2 * _rev(ir, lr) + 1) * l, q) for l in range(LANES)]
+         for ir in range(R)], dtype=object)
+    # step-3 rhs is indexed [contraction c = k*LANES + l, out-lane il]
+    Tt = np.array(
+        [[pow(omg, l * _rev(il, 7), q) for il in range(LANES)]
+         for l in range(LANES)], dtype=object)
+    A1, c1 = _digitize_folded(M, q)
+    # digitize T in its (il, l) orientation then transpose the cat blocks
+    T3, c3 = _digitize_folded(Tt.T, q)  # T3[j, il, k*L + l]
+    T3 = np.ascontiguousarray(
+        T3.reshape(NDIG, LANES, NDIG, LANES).transpose(0, 2, 3, 1).reshape(
+            NDIG, NDIG * LANES, LANES))
+    b1, b3 = _bias_bits(NDIG * R), _bias_bits(NDIG * LANES)
+    c1 = np.array([(int(v) - sum(1 << (8 * j + b1) for j in range(NDIG)))
+                   % q for v in c1], dtype=np.uint64)
+    c3 = np.array([(int(v) - sum(1 << (8 * j + b3) for j in range(NDIG)))
+                   % q for v in c3], dtype=np.uint64)
+    return (A1, T3, _shoup_planes(D.astype(np.uint64), q),
+            _const_plane(c1, R), _const_plane(c3, R))
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_tables_np(n: int, q: int, psi: int):
+    R = n // LANES
+    lr = R.bit_length() - 1
+    eta = pow(psi, LANES, q)
+    omg = pow(psi, 2 * R, q)
+    ieta, iomg, ipsi = (pow(x, q - 2, q) for x in (eta, omg, psi))
+    iR, iL = pow(R, q - 2, q), pow(LANES, q - 2, q)
+    Minv = np.array(
+        [[pow(ieta, r * (2 * _rev(ir, lr) + 1), q) * iR % q
+          for ir in range(R)] for r in range(R)], dtype=object)
+    Dinv = np.array(
+        [[pow(ipsi, (2 * _rev(ir, lr) + 1) * l, q) for l in range(LANES)]
+         for ir in range(R)], dtype=object)
+    Tinv = np.array(
+        [[pow(iomg, _rev(il, 7) * l, q) * iL % q for il in range(LANES)]
+         for l in range(LANES)], dtype=object)
+    MA, cc = _digitize_folded(Minv, q)
+    # step-A rhs indexed [c = k*LANES + il, out-lane l]: digitize Tinv in
+    # its (l, il) orientation then transpose cat blocks
+    TA, ca = _digitize_folded(Tinv, q)  # TA[j, l, k*L + il]
+    TA = np.ascontiguousarray(
+        TA.reshape(NDIG, LANES, NDIG, LANES).transpose(0, 2, 3, 1).reshape(
+            NDIG, NDIG * LANES, LANES))
+    ba, bc = _bias_bits(NDIG * LANES), _bias_bits(NDIG * R)
+    ca = np.array([(int(v) - sum(1 << (8 * j + ba) for j in range(NDIG)))
+                   % q for v in ca], dtype=np.uint64)
+    cc = np.array([(int(v) - sum(1 << (8 * j + bc) for j in range(NDIG)))
+                   % q for v in cc], dtype=np.uint64)
+    return (MA, TA, _shoup_planes(Dinv.astype(np.uint64), q),
+            _const_plane(ca, R), _const_plane(cc, R))
+
+
+# ---------------------------------------------------------- kernel helpers
+def _split8(lo, hi):
+    """u32 pair -> 8 int8 planes holding byte_k - 128 (biased digits)."""
+    X = U32(0x80)
+    B = U32(0xFF)
+    outs = []
+    for w in (lo, hi):
+        outs.append(((w & B) ^ X).astype(I8))
+        outs.append((((w >> U32(8)) & B) ^ X).astype(I8))
+        outs.append((((w >> U32(16)) & B) ^ X).astype(I8))
+        outs.append(((w >> U32(24)) ^ X).astype(I8))
+    return outs
+
+
+def _dot(a, b):
+    """2D digit matmul (int8 x int8 -> int32, or bf16 via f32)."""
+    if _dot_mode() == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(I32)
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=I32
+    )
+
+
+def _add_carry(lo, hi, add):
+    """(lo, hi) += add (u32 into the low limb), carry into hi."""
+    nlo = lo + add
+    return nlo, hi + (nlo < lo).astype(U32)
+
+
+def _recombine(es, bias_bits: int, clo, chi, q: int):
+    """8 int32 accumulators + constant planes -> u64 pair W == V (mod q),
+    W < 2^63.3.  V = sum_j 2^(8j) (e_j + 2^bias) + C* < ~2^82."""
+    BIAS = I32(1 << bias_bits)
+    u = [(e + BIAS).astype(U32) for e in es]
+    # limb 0: u0 + u1<<8 + u2<<16 + u3<<24  (u32 wraps keep the low parts)
+    L0, L1 = _add_carry(u[0], U32(0), u[1] << U32(8))
+    L0, L1 = _add_carry(L0, L1, u[2] << U32(16))
+    L0, L1 = _add_carry(L0, L1, u[3] << U32(24))
+    # limb 1 terms (carries tracked into L2)
+    L2 = U32(0)
+    for add in (
+        u[1] >> U32(24), u[2] >> U32(16), u[3] >> U32(8), u[4],
+        u[5] << U32(8), u[6] << U32(16), u[7] << U32(24),
+    ):
+        L1, L2 = _add_carry(L1, L2, add)
+    L2 = L2 + (u[5] >> U32(24)) + (u[6] >> U32(16)) + (u[7] >> U32(8))
+    # + C* (< q, two limbs)
+    L0, c = _add_carry(L0, U32(0), clo)
+    L1, L2 = _add_carry(L1, L2, chi + c)  # chi < 2^28, no u32 overflow
+    return _fold59(L0, L1, L2, q)
+
+
+def _mul_delta(a, q: int):
+    """a (u32, < 2^23) * delta, delta = q - 2^59 (sparse): u64 pair."""
+    delta = q - (1 << 59)
+    assert delta > 0
+    lo = jnp.zeros_like(a) if not (delta & 1) else a
+    hi = jnp.zeros_like(a)
+    for k in range(1, 64):
+        if not (delta >> k) & 1:
+            continue
+        if k >= 32:
+            hi = hi + (a << U32(k - 32) if k > 32 else a)
+        else:
+            lo, hi = _add_carry(lo, hi, a << U32(k))
+            hi = hi + (a >> U32(32 - k))
+    return lo, hi
+
+
+def _fold59(L0, L1, L2, q: int):
+    """(L0, L1, L2) = V < 2^82 -> u64 W == V (mod q), W < 20q + 2^59.
+
+    2^59 == -delta (mod q): W = (V mod 2^59) + 20q - (V >> 59) * delta.
+    A = V >> 59 < 2^23, so A*delta < 20q for every supported modulus
+    (checked at table-build time for P, the widest delta; 16q is 0.4%
+    too small for P at the K=1024 contraction)."""
+    A = (L1 >> U32(27)) | (L2 << U32(5))
+    slo, shi = _mul_delta(A, q)
+    blo, bhi = L0, L1 & U32(0x07FFFFFF)
+    tlo, thi = r32.add64(blo, bhi, *r32.const64(20 * q))
+    return r32.sub64(tlo, thi, slo, shi)
+
+
+def _fold_final(wlo, whi, q: int):
+    """u64 W < 2^59 + 20q -> canonical [0, q): one more sparse fold then
+    a condsub (post-fold value < 2q: B < 2^59 and A*delta <= 21*delta < q
+    for every supported modulus)."""
+    A = whi >> U32(27)
+    slo, shi = _mul_delta(A, q)
+    blo, bhi = wlo, whi & U32(0x07FFFFFF)
+    tlo, thi = r32.add64(blo, bhi, *r32.const64(q))
+    lo, hi = r32.sub64(tlo, thi, slo, shi)
+    return K._condsub(lo, hi, q)
+
+
+def _shoup_const(vlo, vhi, tbl, q: int):
+    """x * w mod q for per-position constants w (Shoup, limb quotient);
+    x < 2^64 arbitrary -> result < 3q."""
+    wl, wh, s0, s1, s2, s3 = tbl
+    return S._shoup_mul_limb(vlo, vhi, wl, wh, s0, s1, s2, s3, q)
+
+
+# ------------------------------------------------------------- stage bodies
+def _fwd_stages(tbls, q: int, R: int, bp: int):
+    A1, T3, Dp, C1, C3 = tbls
+    b1, b3 = _bias_bits(NDIG * R), _bias_bits(NDIG * LANES)
+
+    def stages(alo, ahi):
+        # (bp, R, L) -> (R, bp, L): contraction axis to the front
+        alo = jnp.transpose(alo, (1, 0, 2))
+        ahi = jnp.transpose(ahi, (1, 0, 2))
+        # rows: S2 (8R, bp*L) digit planes, one dot per accumulator
+        digs = _split8(alo, ahi)
+        S2 = jnp.concatenate(digs, axis=0).reshape(NDIG * R, bp * LANES)
+        es = [_dot(A1[j], S2).reshape(R, bp, LANES) for j in range(NDIG)]
+        wlo, whi = _recombine(
+            es, b1, C1[0][:, None, :], C1[1][:, None, :], q)
+        # middle twiddle: per-position Shoup constants
+        ylo, yhi = _shoup_const(
+            wlo, whi, tuple(t[:, None, :] for t in Dp), q)
+        # lanes: Y2 (R*bp, 8L) @ T3[j] (8L, L)
+        ydigs = _split8(ylo, yhi)
+        Y2 = jnp.concatenate(ydigs, axis=2).reshape(R * bp, NDIG * LANES)
+        es3 = [_dot(Y2, T3[j]).reshape(R, bp, LANES) for j in range(NDIG)]
+        zlo, zhi = _recombine(
+            es3, b3, C3[0][0][None, None, :], C3[1][0][None, None, :], q)
+        zlo, zhi = _fold_final(zlo, zhi, q)
+        return (
+            jnp.transpose(zlo, (1, 0, 2)), jnp.transpose(zhi, (1, 0, 2))
+        )
+
+    return stages
+
+
+def _inv_stages(tbls, q: int, R: int, bp: int):
+    MA, TA, Dp, CA, CC = tbls
+    ba, bc = _bias_bits(NDIG * LANES), _bias_bits(NDIG * R)
+
+    def stages(alo, ahi):
+        # lanes first: (bp, R, L) stays put; Z2 (bp*R, 8L) @ TA[j]
+        digs = _split8(alo, ahi)
+        Z2 = jnp.concatenate(digs, axis=2).reshape(bp * R, NDIG * LANES)
+        es = [_dot(Z2, TA[j]).reshape(bp, R, LANES) for j in range(NDIG)]
+        wlo, whi = _recombine(
+            es, ba, CA[0][0][None, None, :], CA[1][0][None, None, :], q)
+        ylo, yhi = _shoup_const(
+            wlo, whi, tuple(t[None, :, :] for t in Dp), q)
+        # rows: transpose then Y2 (8R, bp*L)
+        ylo = jnp.transpose(ylo, (1, 0, 2))
+        yhi = jnp.transpose(yhi, (1, 0, 2))
+        ydigs = _split8(ylo, yhi)
+        Y2 = jnp.concatenate(ydigs, axis=0).reshape(NDIG * R, bp * LANES)
+        es3 = [_dot(MA[j], Y2).reshape(R, bp, LANES) for j in range(NDIG)]
+        zlo, zhi = _recombine(
+            es3, bc, CC[0][:, None, :], CC[1][:, None, :], q)
+        zlo, zhi = _fold_final(zlo, zhi, q)
+        return (
+            jnp.transpose(zlo, (1, 0, 2)), jnp.transpose(zhi, (1, 0, 2))
+        )
+
+    return stages
+
+
+# ---------------------------------------------------------------- the call
+def _body(inverse, q, nchunks, bp, rows,
+          A1, T3, dwl, dwh, ds0, ds1, ds2, ds3, c1l, c1h, c3l, c3h,
+          xlo, xhi, olo, ohi):
+    tbls = (
+        A1, T3,
+        (dwl[:], dwh[:], ds0[:], ds1[:], ds2[:], ds3[:]),
+        (c1l[:], c1h[:]), (c3l[:], c3h[:]),
+    )
+    mk = _inv_stages if inverse else _fwd_stages
+    stages = mk(tbls, q, rows, bp)
+
+    def hbm_at(ref, c):
+        return ref.at[pl.ds(c * np.int32(bp), bp)]
+
+    def inner(ilo, ihi, qlo, qhi, sem_in, sem_out):
+        S._chunk_pipeline(
+            ilo, ihi, qlo, qhi, sem_in, sem_out,
+            stages, nchunks, bp, xlo, xhi, olo, ohi, hbm_at,
+        )
+
+    S._scoped_pipeline(inner, bp, rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _check_fold_margin(n: int, q: int):
+    """V < 2^82-ish must fold in one step: A*delta <= 16q."""
+    for kdim in (NDIG * (n // LANES), NDIG * LANES):
+        b = _bias_bits(kdim)
+        vmax = sum((1 << (8 * j)) * (1 << (b + 1)) for j in range(NDIG)) + q
+        amax = vmax >> 59
+        assert amax * (q - (1 << 59)) <= 20 * q, (
+            f"fold margin violated for q={q}, K={kdim}")
+        assert 20 * q + (1 << 59) < (1 << 64) and 22 * (q - (1 << 59)) < q
+
+
+def _tables_jax(n: int, q: int, root: int, inverse: bool):
+    _check_fold_margin(n, q)
+    tb = (_inv_tables_np if inverse else _fwd_tables_np)(n, q, root)
+    cat_dtype = jnp.bfloat16 if _dot_mode() == "bf16" else jnp.int8
+    A1, T3, Dp, Ca, Cb = tb
+    return (
+        [jnp.asarray(A1).astype(cat_dtype), jnp.asarray(T3).astype(cat_dtype)]
+        + [jnp.asarray(t) for t in Dp]
+        + [jnp.asarray(Ca[0]), jnp.asarray(Ca[1]),
+           jnp.asarray(Cb[0]), jnp.asarray(Cb[1])]
+    )
+
+
+def _mxu_call(alo, ahi, *, q, root, inverse):
+    nb = alo.shape[0]
+    rows = alo.shape[1]
+    n = rows * LANES
+    bp, nchunks = S._chunking(nb)
+    tables = _tables_jax(n, q, root, inverse)
+    body = functools.partial(_body, inverse, q, nchunks, bp, rows)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    with jax.enable_x64(False):
+        call = pl.pallas_call(
+            body,
+            in_specs=[vmem] * len(tables) + [hbm] * 2,
+            out_specs=[hbm] * 2,
+            out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
+            input_output_aliases={len(tables): 0, len(tables) + 1: 1},
+            interpret=bool(os.environ.get("ALOHA_STREAM_INTERPRET")),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=int(
+                    os.environ.get("ALOHA_STREAM_VMEM", str(100 * 2**20))
+                ),
+            ),
+        )
+        return call(*tables, alo, ahi)
+
+
+def ntt_planes(alo, ahi, q: int, psi: int):
+    """Forward MXU NTT on (nb, rows, 128) u32 planes."""
+    return _mxu_call(alo, ahi, q=q, root=psi, inverse=False)
+
+
+def intt_planes(alo, ahi, q: int, ipsi: int):
+    """Inverse MXU NTT on (nb, rows, 128) u32 planes.
+
+    Note: `ipsi` is accepted for interface parity with ntt_stream but the
+    inverse tables are derived from the FORWARD psi (ipsi must equal
+    psi^-1 mod q; asserted at table build)."""
+    # recover psi from ipsi so both directions key off the forward root
+    psi = pow(int(ipsi), q - 2, q)
+    return _mxu_call(alo, ahi, q=q, root=psi, inverse=True)
+
+
+def ntt(a, q: int, psi: int):
+    """Forward MXU NTT over the last axis (uint64 convenience)."""
+    return S._u64_wrap(ntt_planes, a, q, psi)
+
+
+def intt(a, q: int, ipsi: int):
+    """Inverse MXU NTT over the last axis (uint64 convenience)."""
+    return S._u64_wrap(intt_planes, a, q, ipsi)

@@ -1,0 +1,68 @@
+"""CPU (interpret-mode) bit-exactness of the MXU 4-step NTT kernel.
+
+The 4-step factorization (rows negacyclic NTT_R -> elementwise twiddle
+-> lanes cyclic DFT_128, constants proven in tools/mxu_factor_proof.py)
+executes its digit matmuls + recombination through the pallas interpreter
+and is certified against the NumPy golden model word-for-word.
+
+(reference semantics: the 832-beat NTT engine schedule,
+src/vp/ntt/ntt_fsm.sv:49,68)
+"""
+
+import numpy as np
+import pytest
+
+from aloha_tpu import ntt_np
+from aloha_tpu.config import DEFAULT_CONFIG as CFG
+
+pytest.importorskip("jax.experimental.pallas")
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+
+
+def _run(nb, n, q, psi, dot_mode="i8"):
+    import jax.numpy as jnp
+
+    from aloha_tpu.ops import ntt_mxu
+
+    rng = np.random.default_rng(nb + n)
+    a = rng.integers(0, q, size=(nb, n), dtype=np.uint64)
+    want = ntt_np.ntt(a, q, psi)
+    got = np.asarray(ntt_mxu.ntt(jnp.asarray(a), q, psi))
+    assert np.array_equal(got, want)
+    ipsi = pow(psi, q - 2, q)
+    back = np.asarray(ntt_mxu.intt(jnp.asarray(got), q, ipsi))
+    assert np.array_equal(back, a)
+
+
+@pytest.mark.parametrize("m", range(3))
+def test_all_moduli_small_ring(m):
+    # n=1024 (R=8) keeps interpret-mode runtime low while exercising the
+    # full digit/recombine/fold machinery; root rescaled to order 2n
+    q = CFG.moduli[m]
+    psi = pow(CFG.psi[m], CFG.n // 1024, q)
+    _run(2, 1024, q, psi)
+
+
+def test_full_ring_q0():
+    _run(2, CFG.n, CFG.moduli[0], CFG.psi[0])
+
+
+def test_bf16_dot_mode(monkeypatch):
+    # the bf16 digit path (exact: |digit products| <= 2^14, f32
+    # accumulation of <= 1024 terms stays under 2^24)
+    monkeypatch.setenv("ALOHA_MXU_DOT", "bf16")
+    q = CFG.moduli[1]
+    psi = pow(CFG.psi[1], CFG.n // 1024, q)
+    _run(2, 1024, q, psi)
+
+
+def test_odd_batch_chunking():
+    # nb=3 -> bp degrades to 1; the kernel is bp-generic
+    q = CFG.special_prime
+    psi = pow(CFG.psi[-1], CFG.n // 1024, q)
+    _run(3, 1024, q, psi)
