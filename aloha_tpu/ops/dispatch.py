@@ -1,10 +1,13 @@
 """Transform dispatch: choose the NTT implementation for the HE ops.
 
-Three implementations share semantics (bit-identical results):
+Four implementations share semantics (bit-identical results):
   * `xla`    — aloha_tpu.ntt_jax, compiler-friendly graphs, runs anywhere
   * `pallas` — aloha_tpu.ops.ntt_pallas, hand-tiled grid kernel
   * `stream` — aloha_tpu.ops.ntt_stream, single-launch DMA-pipelined batch
                kernel (best for large batches)
+  * `mxu`    — aloha_tpu.ops.ntt_mxu, 4-step int8-digit matmul kernel
+               (fastest measured; needs q in (2^59, 2^60) — other moduli
+               fall through to `stream` transparently)
 
 Selection: explicit `set_impl(...)`, or env ALOHA_NTT_IMPL; by default the
 fastest available path is picked automatically — the Pallas kernels on a
@@ -20,7 +23,7 @@ import warnings
 from aloha_tpu import ntt_jax
 
 _impl = os.environ.get("ALOHA_NTT_IMPL", "auto")
-_IMPLS = ("auto", "xla", "pallas", "stream")
+_IMPLS = ("auto", "xla", "pallas", "stream", "mxu")
 
 
 def set_impl(name: str) -> None:
@@ -51,12 +54,32 @@ def _fallback(exc: Exception) -> None:
     _impl = "xla"
 
 
+def _mxu_fits(a, q: int) -> bool:
+    """The MXU kernel's preconditions: 60-bit modulus with a positive
+    sparse delta (q - 2^59 > 0) and a power-of-two n with at least two
+    sublane rows so the 4-step row factor is a real (R, R) matmul."""
+    n = a.shape[-1]
+    if n < 256 or n & (n - 1) or not (1 << 59) < q < (1 << 60):
+        return False
+    from aloha_tpu.ops import ntt_mxu
+
+    try:
+        ntt_mxu._check_fold_margin(n, q)
+    except AssertionError:
+        return False
+    return ntt_mxu.available()
+
+
 def _run(kind: str, a, q: int, root: int):
     impl = _impl if _impl != "auto" else _resolve()
-    if impl in ("pallas", "stream"):
+    if impl == "mxu" and not _mxu_fits(a, q):
+        impl = "stream"
+    if impl in ("pallas", "stream", "mxu"):
         try:
             if impl == "stream":
                 from aloha_tpu.ops import ntt_stream as mod
+            elif impl == "mxu":
+                from aloha_tpu.ops import ntt_mxu as mod
             else:
                 from aloha_tpu.ops import ntt_pallas as mod
             return getattr(mod, kind)(a, q, root)

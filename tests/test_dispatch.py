@@ -24,6 +24,43 @@ def test_explicit_rejects_unknown():
         dispatch.set_impl("cuda")
 
 
+def test_mxu_impl_runs_bit_exact(monkeypatch):
+    """Explicit `mxu` reaches the 4-step kernel (interpret mode on CPU)
+    and returns the golden transform."""
+    from aloha_tpu.ops import ntt_mxu
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setattr(ntt_mxu, "available", lambda: True)
+    dispatch.set_impl("mxu")
+    q, psi = CFG.moduli[0], CFG.psi[0]
+    n = 1024
+    psi_n = pow(psi, CFG.n // n, q)
+    a = np.random.default_rng(1).integers(0, q, size=(2, n), dtype=np.uint64)
+    out = dispatch.ntt(a, q, psi_n)
+    assert np.array_equal(np.asarray(out), ntt_np.ntt(a, q, psi_n))
+
+
+def test_mxu_unfit_modulus_demotes_to_stream(monkeypatch):
+    """A modulus outside (2^59, 2^60) cannot use the single-fold MXU
+    reduction; the dispatcher must route it to the stream kernel."""
+    from aloha_tpu.ops import ntt_mxu, ntt_stream
+
+    seen = {}
+
+    def fake_stream_ntt(a, q, root):
+        seen["q"] = q
+        return a
+
+    monkeypatch.setattr(ntt_mxu, "available", lambda: True)
+    monkeypatch.setattr(ntt_stream, "ntt", fake_stream_ntt)
+    dispatch.set_impl("mxu")
+    q = (1 << 59) - 45  # valid datapath modulus, but below the 2^59 floor
+    a = np.zeros((1, 1024), dtype=np.uint64)
+    dispatch.ntt(a, q, 3)
+    assert seen["q"] == q
+
+
 def test_kernel_failure_falls_back_to_xla(monkeypatch):
     """A kernel-path compile failure must demote to XLA and still return
     the bit-exact result (the hosted remote-compile service can 500)."""

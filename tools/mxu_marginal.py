@@ -54,8 +54,9 @@ def chain(al, ah, k):
     return al, ah
 
 
+KS = tuple(int(x) for x in os.environ.get("KS", "4,12").split(","))
 res = {}
-for K in (4, 12):
+for K in KS:
     f = jax.jit(lambda al, ah, K=K: chain(al, ah, K))
     r = f(alo, ahi)
     _ = np.asarray(r[0][0, 0, 0])
@@ -68,7 +69,7 @@ for K in (4, 12):
     res[K] = min(times)
     print(f"K={K}: min {res[K]*1e3:.1f} ms over "
           f"{sorted(round(t*1e3) for t in times)}", flush=True)
-slope = (res[12] - res[4]) / (8 * NB)
+slope = (res[KS[-1]] - res[KS[0]]) / ((KS[-1] - KS[0]) * NB)
 cfgs = {k: os.environ.get(k, "") for k in
         ("ALOHA_STREAM_BP", "ALOHA_MXU_DOT", "NB", "INV")}
 print(f"{cfgs}: marginal {slope*1e6:.3f} us/poly -> "
