@@ -108,14 +108,36 @@ def _aut_tile(lo, hi, q: int, Qr, Pr, rm, sg, nbits: int):
     return jnp.where(m, slo, lo), jnp.where(m, shi, hi)
 
 
+# --------------------------------------------------------- stage factories
+def _mk_stages(mode, tbl_refs, m, q, rows, bp, logn, inverse):
+    """One modulus' transform body from stacked table refs.
+
+    mode 'stream': the butterfly stage loops (ns._make_stage_loops, 6
+    stacked table planes); mode 'mxu': the 4-step int8-digit matmul form
+    (ntt_mxu.make_stages, 12 stacked operands).  Both return a function
+    (alo, ahi) -> (zlo, zhi) on (bp, rows, LANES) planes with canonical
+    [0, q) output."""
+    if mode == "mxu":
+        from aloha_tpu.ops import ntt_mxu
+
+        return ntt_mxu.make_stages(tbl_refs, m, q, rows, bp, inverse)
+    tbl = tuple(ns._TblSlice(r, m) for r in tbl_refs)
+    fwd, inv = ns._make_stage_loops(tbl, q, rows, bp, logn)
+    return inv if inverse else fwd
+
+
+def _ks_ntt_mode() -> str:
+    return os.environ.get("ALOHA_KS_NTT", "stream")
+
+
 # ------------------------------------------------------------ head kernel
 def _head_body(
-    cfg: HEConfig, bp: int, rows: int,
-    iwl, iwh, is0, is1, is2, is3,      # inverse tables, stacked (L, ...)
-    fwl, fwh, fs0, fs1, fs2, fs3,      # forward tables, stacked (L+1, ...)
-    Qr, Pr, rm, sg,                    # automorphism constants
-    xlo, xhi,                          # (L, bp, rows, LANES) b-part blocks
-    olo, ohi,                          # (L+1, bp, L, rows, LANES) blocks
+    cfg: HEConfig, bp: int, rows: int, mode: str, ni: int, nf: int,
+    *refs,
+    # refs: ni inverse-table refs (stacked (L, ...)), nf forward-table
+    # refs (stacked (L+1, ...)), Qr, Pr, rm, sg automorphism constants,
+    # xlo, xhi (L, bp, rows, LANES) b-part blocks, olo, ohi
+    # (L+1, bp, L, rows, LANES) output blocks
 ):
     """INTT -> automorphism -> digit raise -> NTT on the b part only.
 
@@ -126,6 +148,9 @@ def _head_body(
     trip the reference's coefficient-domain vaut forces (5 of the
     keyswitch's 19 poly-transforms removed; reference: the 122-instr
     program, sim/vp/isram_file_generator/keyswitch.mem)."""
+    itbl = refs[:ni]
+    ftbl = refs[ni:ni + nf]
+    Qr, Pr, rm, sg, xlo, xhi, olo, ohi = refs[ni + nf:]
     L = cfg.n_limbs
     moduli = cfg.moduli
     logn = (rows * LANES).bit_length() - 1
@@ -137,10 +162,7 @@ def _head_body(
 
     digits = []
     for m in range(L):
-        tbl = tuple(
-            ns._TblSlice(r, m) for r in (iwl, iwh, is0, is1, is2, is3)
-        )
-        _, inv = ns._make_stage_loops(tbl, moduli[m], rows, bp, logn)
+        inv = _mk_stages(mode, itbl, m, moduli[m], rows, bp, logn, True)
         lo, hi = inv(xlo[m], xhi[m])
         alo, ahi = [], []
         for p in range(bp):
@@ -163,10 +185,9 @@ def _head_body(
             polys.append(x)
         slo = jnp.stack([p[0] for p in polys], axis=1)
         shi = jnp.stack([p[1] for p in polys], axis=1)
-        tbl = tuple(
-            ns._TblSlice(r, mm) for r in (fwl, fwh, fs0, fs1, fs2, fs3)
+        fwd = _mk_stages(
+            mode, ftbl, mm, moduli[mm], rows, bp * L, logn, False
         )
-        fwd, _ = ns._make_stage_loops(tbl, moduli[mm], rows, bp * L, logn)
         rlo, rhi = fwd(
             slo.reshape(bp * L, rows, LANES),
             shi.reshape(bp * L, rows, LANES),
@@ -177,15 +198,21 @@ def _head_body(
 
 # ------------------------------------------------------------ tail kernel
 def _tail_body(
-    cfg: HEConfig, bp: int, rows: int,
-    iwl, iwh, is0, is1, is2, is3,      # inverse tables for sp (1, ...)
-    fwl, fwh, fs0, fs1, fs2, fs3,      # forward tables, stacked (L, ...)
-    klo, khi,                          # KSK planes (2L(L+1), rows, LANES)
-    ks0, ks1, ks2, ks3,                # KSK Shoup limb planes (or None x4)
-    nlo, nhi,                          # head output (L+1, bp, L, ...)
-    rlo, rhi,                          # rider planes (L, bp, rows, LANES)
-    alo_out, ahi_out,                  # (L, bp, 2, rows, LANES) blocks
+    cfg: HEConfig, bp: int, rows: int, mode: str, ni: int, nf: int,
+    nks: int,
+    *refs,
+    # refs: ni inverse-table refs for sp (stacked (1, ...)), nf forward-
+    # table refs (stacked (L, ...)), klo, khi KSK planes
+    # (2L(L+1), rows, LANES), nks (0 or 4) KSK Shoup limb planes,
+    # nlo, nhi head output (L+1, bp, L, ...), rlo, rhi rider planes
+    # (L, bp, rows, LANES), alo_out, ahi_out (L, bp, 2, rows, LANES)
 ):
+    itbl = refs[:ni]
+    ftbl = refs[ni:ni + nf]
+    klo, khi = refs[ni + nf:ni + nf + 2]
+    ks = refs[ni + nf + 2:ni + nf + 2 + nks] if nks else (None,) * 4
+    ks0, ks1, ks2, ks3 = ks
+    nlo, nhi, rlo, rhi, alo_out, ahi_out = refs[ni + nf + 2 + nks:]
     L = cfg.n_limbs
     moduli = cfg.moduli
     sp = cfg.special_prime
@@ -243,10 +270,7 @@ def _tail_body(
                 c[m][part] = acc
 
     # mod-down by P with (P-1)/2 rounding
-    tbl = tuple(
-        ns._TblSlice(r, 0) for r in (iwl, iwh, is0, is1, is2, is3)
-    )
-    _, inv = ns._make_stage_loops(tbl, sp, rows, 2 * bp, logn)
+    inv = _mk_stages(mode, itbl, 0, sp, rows, 2 * bp, logn, True)
     plo = jnp.stack([c[L][0][0], c[L][1][0]], axis=1)
     phi = jnp.stack([c[L][0][1], c[L][1][1]], axis=1)
     plo, phi = inv(
@@ -276,10 +300,7 @@ def _tail_body(
             ],
             axis=1,
         )
-        tbl = tuple(
-            ns._TblSlice(r, m) for r in (fwl, fwh, fs0, fs1, fs2, fs3)
-        )
-        fwd, _ = ns._make_stage_loops(tbl, q, rows, 2 * bp, logn)
+        fwd = _mk_stages(mode, ftbl, m, q, rows, 2 * bp, logn, False)
         clo, chi = fwd(
             slo.reshape(2 * bp, rows, LANES), shi.reshape(2 * bp, rows, LANES)
         )
@@ -312,8 +333,17 @@ def _params():
 
 
 @functools.lru_cache(maxsize=None)
-def _head_tables(cfg: HEConfig):
+def _head_tables(cfg: HEConfig, mode: str = "stream"):
     L = cfg.n_limbs
+    if mode == "mxu":
+        from aloha_tpu.ops import ntt_mxu
+
+        return (
+            ntt_mxu.stacked_tables_np(
+                cfg.n, cfg.moduli[:L], cfg.psi[:L], True
+            ),
+            ntt_mxu.stacked_tables_np(cfg.n, cfg.moduli, cfg.psi, False),
+        )
     inv = [
         ns._tables6_np(cfg.n, cfg.ipsi[m], cfg.moduli[m], True)
         for m in range(L)
@@ -329,8 +359,19 @@ def _head_tables(cfg: HEConfig):
 
 
 @functools.lru_cache(maxsize=None)
-def _tail_tables(cfg: HEConfig):
+def _tail_tables(cfg: HEConfig, mode: str = "stream"):
     L = cfg.n_limbs
+    if mode == "mxu":
+        from aloha_tpu.ops import ntt_mxu
+
+        return (
+            ntt_mxu.stacked_tables_np(
+                cfg.n, (cfg.special_prime,), (cfg.psi[-1],), True
+            ),
+            ntt_mxu.stacked_tables_np(
+                cfg.n, cfg.moduli[:L], cfg.psi[:L], False
+            ),
+        )
     inv = ns._tables6_np(cfg.n, cfg.ipsi[-1], cfg.special_prime, True)
     fwd = [
         ns._tables6_np(cfg.n, cfg.psi[m], cfg.moduli[m], False)
@@ -383,18 +424,22 @@ def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
     nb = xlo.shape[1]
     rows = cfg.n // LANES
     bp = _chunk(nb)
-    itbl, ftbl = _head_tables(cfg)
+    mode = _ks_ntt_mode()
+    itbl, ftbl = _head_tables(cfg, mode)
     Q, P, rm, sg = _aut_consts_np(cfg.n, step_exp)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl, Q, P, rm, sg)]
+    ntbl = len(itbl) + len(ftbl)
     grid = (nb // bp,)
     full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
-    body = functools.partial(_head_body, cfg, bp, rows)
+    body = functools.partial(
+        _head_body, cfg, bp, rows, mode, len(itbl), len(ftbl)
+    )
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
             grid=grid,
             in_specs=(
-                [full(t.shape) for t in consts[:12]]
+                [full(t.shape) for t in consts[:ntbl]]
                 + [
                     pl.BlockSpec((rows, rows), lambda c: (0, 0)),
                     pl.BlockSpec((LANES, LANES), lambda c: (0, 0)),
@@ -437,16 +482,13 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
     nb = nlo.shape[1]
     rows = cfg.n // LANES
     bp = _chunk(nb)
-    itbl, ftbl = _tail_tables(cfg)
+    mode = _ks_ntt_mode()
+    itbl, ftbl = _tail_tables(cfg, mode)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl)]
     nks = 4 if kshoup is not None else 0
-
-    def body(*refs):
-        ks = refs[14:14 + nks] if nks else (None,) * 4
-        _tail_body(
-            cfg, bp, rows, *refs[:14], *ks, *refs[14 + nks:]
-        )
-
+    body = functools.partial(
+        _tail_body, cfg, bp, rows, mode, len(itbl), len(ftbl), nks
+    )
     full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
     with jax.enable_x64(False):
         call = pl.pallas_call(

@@ -384,6 +384,43 @@ def _inv_stages(tbls, q: int, R: int, bp: int):
     return stages
 
 
+# ------------------------------------------------- embedding in host kernels
+def tables12_np(n: int, q: int, psi: int, inverse: bool):
+    """Flat 12-tuple of numpy operand arrays for one (modulus, direction):
+    (A, T, dwl, dwh, ds0..ds3, c_a_lo, c_a_hi, c_b_lo, c_b_hi).  `psi` is
+    always the FORWARD root; the inverse tables derive their own inverses."""
+    _check_fold_margin(n, q)
+    A, T, Dp, Ca, Cb = (_inv_tables_np if inverse else _fwd_tables_np)(
+        n, q, psi
+    )
+    return (A, T, *Dp, *Ca, *Cb)
+
+
+def stacked_tables_np(n: int, qs, psis, inverse: bool):
+    """tables12 for several moduli, each field stacked along a leading
+    modulus axis — the operand form for multi-modulus host kernels
+    (ks_kernel).  Digit matrices stay int8."""
+    per = [tables12_np(n, q, p, inverse) for q, p in zip(qs, psis)]
+    return tuple(np.stack(f) for f in zip(*per))
+
+
+def make_stages(refs, m: int, q: int, rows: int, bp: int, inverse: bool):
+    """Build the 4-step stage closure over STACKED kernel refs (the
+    12-tuple of stacked_tables_np operands); `m` selects the modulus.
+    Returns a function (alo, ahi) -> (zlo, zhi) on (bp, rows, LANES)
+    planes with canonical [0, q) output — interface-compatible with the
+    ntt_stream stage loops consumed by ks_kernel."""
+    from aloha_tpu.ops.ntt_stream import _TblSlice
+
+    A, T, dwl, dwh, ds0, ds1, ds2, ds3, cal, cah, cbl, cbh = refs
+    tbls = (
+        _TblSlice(A, m), _TblSlice(T, m),
+        (dwl[m], dwh[m], ds0[m], ds1[m], ds2[m], ds3[m]),
+        (cal[m], cah[m]), (cbl[m], cbh[m]),
+    )
+    return (_inv_stages if inverse else _fwd_stages)(tbls, q, rows, bp)
+
+
 # ---------------------------------------------------------------- the call
 def _body(inverse, q, nchunks, bp, rows,
           A1, T3, dwl, dwh, ds0, ds1, ds2, ds3, c1l, c1h, c3l, c3h,

@@ -26,7 +26,9 @@ def main():
     # under a hard timeout, falling back to the XLA path so this script
     # ALWAYS prints its metric line.
     if "--child" not in sys.argv and not os.environ.get("ALOHA_BENCH_NO_FORK"):
-        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "780"))
+        # budget covers tier 1 (~1.5 min) + the MXU tier's cold compile
+        # (~6.5 min) with headroom; warm /tmp/jax_cache runs take ~2 min
+        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "1500"))
         line = _run_child({}, budget)
         if line:
             print(line)
@@ -246,9 +248,79 @@ def _bench():
 
     emit(ntts_per_sec)
 
-    # tier 2: the fastest known kernel configuration (full lowering-time
-    # unroll, 16 polys per chunk) compiles in minutes when the remote
-    # service is warm; if it lands, its metric line supersedes tier 1
+    # tier MXU: the 4-step int8-digit matmul kernel is the fastest
+    # measured path (0.98 us/poly = 1.02e6 NTT/s at BP=32); it compiles
+    # in ~6 min cold, so it runs after tier 1 secured a metric line.
+    if impl == "stream" and not smoke and not os.environ.get(
+        "ALOHA_BENCH_NO_MXU"
+    ):
+        try:
+            from aloha_tpu.ops import ntt_mxu as _nm
+
+            os.environ["ALOHA_STREAM_BP"] = os.environ.get(
+                "ALOHA_BENCH_MXU_BP", "32"
+            )
+            bm = int(os.environ.get("ALOHA_BENCH_BATCH3", "256"))
+            km = int(os.environ.get("ALOHA_BENCH_ITERS3", "192"))
+            xm = jax.block_until_ready(
+                jax.jit(lambda v: jax.tree.map(lambda t: t[:bm], v))(xr)
+            )
+
+            def fnm(p):
+                return _nm.ntt_planes(*p, q, psi)
+
+            def chainm(v):
+                for _ in range(km):
+                    v = fnm(v)
+                return v
+
+            cfnm = jax.jit(chainm)
+            out = cfnm(xm)
+            leaf = jax.tree.leaves(out)[0]
+            _ = np.asarray(leaf[(0,) * leaf.ndim])
+            bestm = 0.0
+            for _trial in range(4):
+                t0 = time.perf_counter()
+                out = cfnm(xm)
+                leaf = jax.tree.leaves(out)[0]
+                _ = np.asarray(leaf[(0,) * leaf.ndim])
+                dt = time.perf_counter() - t0
+                bestm = max(bestm, bm * km / dt)
+            if bestm > ntts_per_sec:
+                impl = "mxu"
+                ntts_per_sec = bestm
+                emit(bestm)
+            # pipelined multi-stream (the production protocol): S
+            # independent chains issued back-to-back so the ~30 ms
+            # tunnel round-trip overlaps device compute.
+            S = int(os.environ.get("ALOHA_BENCH_STREAMS", "4"))
+            xs = [
+                jax.block_until_ready(
+                    jax.jit(lambda v, i=i: jax.tree.map(
+                        lambda t: jnp.roll(t[:bm], i, axis=0), v))(xr)
+                )
+                for i in range(S)
+            ]
+            bestp = 0.0
+            for _trial in range(4):
+                t0 = time.perf_counter()
+                outs = [cfnm(x) for x in xs]
+                for out in outs:
+                    leaf = jax.tree.leaves(out)[0]
+                    _ = np.asarray(leaf[(0,) * leaf.ndim])
+                dt = time.perf_counter() - t0
+                bestp = max(bestp, S * bm * km / dt)
+            if bestp > ntts_per_sec:
+                impl = "mxu"
+                ntts_per_sec = bestp
+                emit(bestp)
+        except Exception as e:  # pragma: no cover - toolchain dependent
+            print(f"# mxu kernel tier skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
+    # tier 2: the fastest stream-kernel configuration (full lowering-time
+    # unroll, 32 polys per chunk) — the fallback champion when the MXU
+    # tier did not land; skipped when the MXU tier already beat it.
     if impl == "stream" and not smoke and not os.environ.get(
         "ALOHA_BENCH_NO_TIER2"
     ):

@@ -69,16 +69,22 @@ def test_mul_modes(monkeypatch, mul, rowmode):
     _run(2, CFG.moduli[0], CFG.psi[0], CFG.ipsi[0])
 
 
-@pytest.mark.parametrize("ks_kernel", ["1", "0"])
-def test_fused_rotate_matches_he_np(monkeypatch, ks_kernel):
-    """Both fused rotates — the 2-launch ks_kernel path (in-kernel
-    automorphism) and the 4-launch multi-modulus path — are bit-identical
-    to the NumPy oracle, end to end through the interpreter."""
+@pytest.mark.parametrize(
+    "ks_kernel,ks_ntt",
+    [("1", "stream"), ("1", "mxu"), ("0", "stream")],
+)
+def test_fused_rotate_matches_he_np(monkeypatch, ks_kernel, ks_ntt):
+    """All fused rotates — the 2-launch ks_kernel path (in-kernel
+    automorphism) with either in-kernel transform (butterfly stage loops
+    or the 4-step MXU digit matmuls) and the 4-launch multi-modulus
+    path — are bit-identical to the NumPy oracle, end to end through
+    the interpreter."""
     import jax.numpy as jnp  # noqa: F401
 
     from aloha_tpu import he_np, he_planes, keys
 
     monkeypatch.setenv("ALOHA_KS_KERNEL", ks_kernel)
+    monkeypatch.setenv("ALOHA_KS_NTT", ks_ntt)
     monkeypatch.setenv("ALOHA_STREAM_BP", "2")
     monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
     rng = np.random.default_rng(11)
@@ -167,15 +173,17 @@ def test_multi_modulus_launch(monkeypatch):
     assert np.array_equal(back, a)
 
 
-def test_fused_rotate_three_limbs_small_ring(monkeypatch):
+@pytest.mark.parametrize("ks_ntt", ["stream", "mxu"])
+def test_fused_rotate_three_limbs_small_ring(monkeypatch, ks_ntt):
     """The fused ks_head/ks_tail kernels are limb-count- and ring-degree-
-    generic: a 3-limb (+P) configuration at n=1024 rotates bit-identically
-    to the NumPy oracle (the reference hardwires 2 limbs and n=8192,
-    src/top/h2_top.sv:31-32)."""
+    generic in BOTH transform modes: a 3-limb (+P) configuration at
+    n=1024 rotates bit-identically to the NumPy oracle (the reference
+    hardwires 2 limbs and n=8192, src/top/h2_top.sv:31-32)."""
     from aloha_tpu import he_np, he_planes, keys
     from aloha_tpu.config import HEConfig
 
     monkeypatch.setenv("ALOHA_KS_KERNEL", "1")
+    monkeypatch.setenv("ALOHA_KS_NTT", ks_ntt)
     monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
     # 2048-th roots derived from test_multilimb's 16384-th roots (psi^8)
     cfg = HEConfig(
