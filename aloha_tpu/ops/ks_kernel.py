@@ -126,8 +126,25 @@ def _mk_stages(mode, tbl_refs, m, q, rows, bp, logn, inverse):
     return inv if inverse else fwd
 
 
-def _ks_ntt_mode() -> str:
-    return os.environ.get("ALOHA_KS_NTT", "stream")
+def _ks_ntt_mode(cfg: HEConfig) -> str:
+    """In-kernel transform selection (ALOHA_KS_NTT=auto|stream|mxu).
+
+    auto picks the 4-step MXU form when every modulus satisfies its
+    preconditions (q in (2^59, 2^60) with single-fold margin) — measured
+    ~1.7x the butterfly stage loops on hardware — else the stream form."""
+    mode = os.environ.get("ALOHA_KS_NTT", "auto")
+    if mode != "auto":
+        return mode
+    from aloha_tpu.ops import ntt_mxu
+
+    try:
+        for q in cfg.moduli:
+            if not (1 << 59) < q < (1 << 60):
+                return "stream"
+            ntt_mxu._check_fold_margin(cfg.n, q)
+    except AssertionError:
+        return "stream"
+    return "mxu"
 
 
 # ------------------------------------------------------------ head kernel
@@ -384,7 +401,10 @@ def _tail_tables(cfg: HEConfig, mode: str = "stream"):
 
 
 def _chunk(nb: int) -> int:
-    bp = int(os.environ.get("ALOHA_KS_BP", "4"))
+    # 16 measured 1.5x over 4 with the MXU transform mode (28.0 vs 42.6
+    # us/rotation in one A/B window): bigger chunks feed the digit
+    # matmuls wider N and amortize per-chunk machinery
+    bp = int(os.environ.get("ALOHA_KS_BP", "16"))
     while nb % bp:
         bp //= 2
     return bp
@@ -424,7 +444,7 @@ def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
     nb = xlo.shape[1]
     rows = cfg.n // LANES
     bp = _chunk(nb)
-    mode = _ks_ntt_mode()
+    mode = _ks_ntt_mode(cfg)
     itbl, ftbl = _head_tables(cfg, mode)
     Q, P, rm, sg = _aut_consts_np(cfg.n, step_exp)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl, Q, P, rm, sg)]
@@ -482,7 +502,7 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
     nb = nlo.shape[1]
     rows = cfg.n // LANES
     bp = _chunk(nb)
-    mode = _ks_ntt_mode()
+    mode = _ks_ntt_mode(cfg)
     itbl, ftbl = _tail_tables(cfg, mode)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl)]
     nks = 4 if kshoup is not None else 0
