@@ -293,7 +293,7 @@ def _bench():
             # pipelined multi-stream (the production protocol): S
             # independent chains issued back-to-back so the ~30 ms
             # tunnel round-trip overlaps device compute.
-            S = int(os.environ.get("ALOHA_BENCH_STREAMS", "4"))
+            S = int(os.environ.get("ALOHA_BENCH_STREAMS", "6"))
             xs = [
                 jax.block_until_ready(
                     jax.jit(lambda v, i=i: jax.tree.map(

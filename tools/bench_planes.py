@@ -85,6 +85,15 @@ def main():
             5 * ct_bytes,
         ),
         "rotate": (lambda ct: hp.rotate(ct, 2, ksk, CFG), None),
+        # the hot loop of encrypted matvec/conv: rotate-and-accumulate
+        # (rotate -> diagonal mul_plain -> accumulate)
+        "matvec_step": (
+            lambda ct: hp.hom_add(
+                hp.mul_plain(hp.rotate(ct, 2, ksk, CFG), pt, CFG),
+                ct2, CFG,
+            ),
+            None,
+        ),
         "encode_post": (
             lambda ct: (hp.encode_post(ct[0], CFG), ct[1]),
             None,
