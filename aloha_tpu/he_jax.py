@@ -85,6 +85,18 @@ def encode_post(pt_coeff, cfg: HEConfig = DEFAULT_CONFIG):
     return jnp.stack(outs, axis=-2)
 
 
+def encode(cleartext, cfg: HEConfig = DEFAULT_CONFIG):
+    """Full device encode: (..., N) interleaved re/im fp64 cleartext ->
+    (..., n_limbs, N) NTT-domain plaintext, batched and jittable — the
+    TPU form of the reference's encoder-pipeline DMA op + encode_post
+    (reference: src/encoder/controller.sv + encode_post.mem).  The
+    fixed-point stage is bit-identical to the RTL-faithful emulation
+    (aloha_tpu.encoder_jax)."""
+    from aloha_tpu import encoder_jax
+
+    return encode_post(encoder_jax.encode(cleartext, cfg), cfg)
+
+
 def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
     """Slot rotation: automorphism X -> X^(3^step) + hybrid key-switch.
 

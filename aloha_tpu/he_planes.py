@@ -201,6 +201,14 @@ def encode_post(pt_coeff, cfg: HEConfig = DEFAULT_CONFIG):
     return _stackp(outs, -2)
 
 
+def encode(cleartext, cfg: HEConfig = DEFAULT_CONFIG):
+    """Full device encode on the plane path: (..., N) interleaved re/im
+    fp64 -> NTT-domain plaintext planes (see he_jax.encode)."""
+    from aloha_tpu import encoder_jax
+
+    return encode_post(from_u64(encoder_jax.encode(cleartext, cfg)), cfg)
+
+
 def _addc(p, v, q):
     vlo, vhi = r32.const64(v)
     lo, hi = p

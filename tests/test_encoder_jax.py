@@ -65,6 +65,25 @@ def test_golden_input_matches_hw_emulation():
     assert np.array_equal(got, want)
 
 
+def test_full_device_encode_paths():
+    """he_jax.encode / he_planes.encode == encoder_hw + NumPy golden NTT."""
+    from aloha_tpu import he_jax, he_planes, ntt_np
+
+    rng = np.random.default_rng(11)
+    c = _rand_cleartext(rng)
+    coeff = encoder_hw.encode(c, CFG)
+    want = np.stack(
+        [
+            ntt_np.ntt(coeff[i], CFG.moduli[i], CFG.psi[i])
+            for i in range(CFG.n_limbs)
+        ]
+    )
+    got = np.asarray(he_jax.encode(c, CFG))
+    assert np.array_equal(got, want)
+    gotp = np.asarray(he_planes.to_u64(he_planes.encode(c, CFG)))
+    assert np.array_equal(gotp, want)
+
+
 def test_small_values_and_signs():
     """Tie-prone inputs (exact halves at the quantizer and FFT rounding
     boundaries) must follow the same convergent rounding."""
