@@ -61,6 +61,50 @@ def test_ntt_sharded_batched_2d_mesh():
 
 
 @requires_8dev
+def test_mxu_kernel_batch_sharded(monkeypatch):
+    """The 4-step MXU kernel composes with the mesh: dp-sharded batch,
+    one kernel instance per device via shard_map (interpret mode on the
+    CPU devices), bit-exact vs the golden transform.  This is the
+    production multi-chip deployment shape — batch over dp, the full
+    transform local to each chip's MXU."""
+    import jax.numpy as jnp
+
+    from aloha_tpu.ops import ntt_mxu
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    n = 1024
+    cfg = small_cfg(n)
+    q, psi = cfg.moduli[0], cfg.psi[0]
+    rows = n // 128
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("dp",))
+    a = RNG.integers(0, q, size=(16, n), dtype=np.uint64)
+    alo = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32)).reshape(
+        16, rows, 128
+    )
+    ahi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32)).reshape(
+        16, rows, 128
+    )
+    sh_b = NamedSharding(mesh, P("dp"))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda lo, hi: ntt_mxu.ntt_planes(lo, hi, q, psi),
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False,
+        )
+    )
+    olo, ohi = fn(jax.device_put(alo, sh_b), jax.device_put(ahi, sh_b))
+    got = (
+        np.asarray(olo).astype(np.uint64)
+        | (np.asarray(ohi).astype(np.uint64) << np.uint64(32))
+    ).reshape(16, n)
+    assert np.array_equal(got, ntt_np.ntt(a, q, psi))
+
+
+@requires_8dev
 def test_collective_count():
     """The sharded NTT must use exactly log2(D) ppermutes (one block
     exchange per cross-shard stage) — the bandwidth-optimal schedule."""
