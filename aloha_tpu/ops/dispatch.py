@@ -10,9 +10,10 @@ Four implementations share semantics (bit-identical results):
                fall through to `stream` transparently)
 
 Selection: explicit `set_impl(...)`, or env ALOHA_NTT_IMPL; by default the
-fastest available path is picked automatically — the Pallas kernels on a
-TPU backend, the XLA graph elsewhere — with a one-shot fallback to `xla`
-if the kernel path fails to compile on the hosted toolchain.
+fastest available path is picked automatically — the MXU kernel on a TPU
+backend when the modulus/ring fit, else the grid kernel, else the XLA
+graph — with a one-shot fallback to `xla` if the kernel path fails to
+compile on the hosted toolchain.
 """
 
 from __future__ import annotations
@@ -72,6 +73,8 @@ def _mxu_fits(a, q: int) -> bool:
 
 def _run(kind: str, a, q: int, root: int):
     impl = _impl if _impl != "auto" else _resolve()
+    if _impl == "auto" and impl == "pallas" and _mxu_fits(a, q):
+        impl = "mxu"  # fastest measured path when the shapes allow
     if impl == "mxu" and not _mxu_fits(a, q):
         impl = "stream"
     if impl in ("pallas", "stream", "mxu"):

@@ -118,12 +118,18 @@ def _rev(x: int, bits: int) -> int:
     return ntt_np.bit_reverse(x, bits)
 
 
-def _const_plane(vec: np.ndarray, rows: int) -> tuple[np.ndarray, np.ndarray]:
-    """(rows,) or (LANES,) u64 vector -> broadcast (rows, LANES) u32 pair."""
+def _const_plane(
+    vec: np.ndarray, rows: int, axis: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """u64 vector -> broadcast (rows, LANES) u32 pair.  axis 0: vec is
+    per-row (length rows); axis 1: per-lane (length LANES).  Explicit —
+    shape-based disambiguation breaks when rows == LANES (n = 16384)."""
     v = vec.astype(np.uint64)
-    if v.shape[0] == rows:
+    if axis == 0:
+        assert v.shape[0] == rows
         full = np.broadcast_to(v[:, None], (rows, LANES))
     else:
+        assert v.shape[0] == LANES
         full = np.broadcast_to(v[None, :], (rows, LANES))
     lo = (full & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (full >> np.uint64(32)).astype(np.uint32)
@@ -181,7 +187,7 @@ def _fwd_tables_np(n: int, q: int, psi: int):
     c3 = np.array([(int(v) - sum(1 << (8 * j + b3) for j in range(NDIG)))
                    % q for v in c3], dtype=np.uint64)
     return (A1, T3, _shoup_planes(D.astype(np.uint64), q),
-            _const_plane(c1, R), _const_plane(c3, R))
+            _const_plane(c1, R, 0), _const_plane(c3, R, 1))
 
 
 @functools.lru_cache(maxsize=None)
@@ -214,7 +220,7 @@ def _inv_tables_np(n: int, q: int, psi: int):
     cc = np.array([(int(v) - sum(1 << (8 * j + bc) for j in range(NDIG)))
                    % q for v in cc], dtype=np.uint64)
     return (MA, TA, _shoup_planes(Dinv.astype(np.uint64), q),
-            _const_plane(ca, R), _const_plane(cc, R))
+            _const_plane(ca, R, 1), _const_plane(cc, R, 0))
 
 
 # ---------------------------------------------------------- kernel helpers

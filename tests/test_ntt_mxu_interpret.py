@@ -61,6 +61,24 @@ def test_bf16_dot_mode(monkeypatch):
     _run(2, 1024, q, psi)
 
 
+def test_larger_ring_n16384():
+    # ring-degree scaling above the reference's N: R=128 makes the row
+    # factor a full (128, 128) MXU matmul; margin holds (K=1024 both steps)
+    q = CFG.moduli[0]
+    # q0 - 1 has 2-adic valuation 32, so a 32768-th root exists
+    psi = _root_of_order(q, 2 * 16384)
+    _run(1, 16384, q, psi)
+
+
+def _root_of_order(q: int, order: int) -> int:
+    # deterministic search: g generates (Z/q)*; psi = g^((q-1)/order)
+    for g in range(2, 100):
+        psi = pow(g, (q - 1) // order, q)
+        if pow(psi, order // 2, q) != 1:
+            return psi
+    raise AssertionError("no root found")
+
+
 def test_odd_batch_chunking():
     # nb=3 -> bp degrades to 1; the kernel is bp-generic
     q = CFG.special_prime
