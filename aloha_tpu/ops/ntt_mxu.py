@@ -30,6 +30,10 @@ Exact 60-bit arithmetic on the int8 MXU:
 * One dot per accumulator: the 8 data planes concatenate along the
   contraction axis (K = 8R or 1024), so the MXU performs the whole
   k-accumulation internally - 16 dot_generals per chunk total.
+  (Stacking the 8 accumulators into ONE wide dot per step was measured
+  2.7x SLOWER on hardware — slicing the accumulators back out of the
+  (8R, .) / (., 8L) results forces Mosaic relayout copies that dwarf
+  the systolic-array M-utilization win.)
 * Reduction: V < 2^82 folds once through 2^59 = -delta (mod q), with
   delta = q - 2^59 sparse for all NTT moduli (a few shifted adds), into
   a u64 W == V (mod q); the middle twiddle is a Shoup multiply by the
@@ -330,30 +334,84 @@ def _shoup_const(vlo, vhi, tbl, q: int):
 
 
 # ------------------------------------------------------------- stage bodies
-def _fwd_stages(tbls, q: int, R: int, bp: int):
+def _stagger() -> int:
+    """ALOHA_MXU_STAGGER=S (default 1 = off): process S interleaved
+    sub-chunks so one sub-chunk's digit matmuls (MXU) are traced adjacent
+    to another's recombine/Shoup chain (VPU), giving the Mosaic scheduler
+    independent work for both units at every point.  The parts probe
+    (tools/probe_mxu_parts.py) measured the un-staggered body as the
+    near-exact SUM of its MXU-only (0.48 us/poly) and VPU-only
+    (0.86 us/poly) costs — i.e. zero overlap."""
+    return max(1, int(os.environ.get("ALOHA_MXU_STAGGER", "1")))
+
+
+def _staggered(phases, split_in, join_out, s: int):
+    """Run `phases` (list of fns, each (state) -> state) over s sub-parts
+    with the trace order staggered one phase apart:
+    part0.P0; part1.P0, part0.P1; part2.P0, part1.P1, part0.P2; ..."""
+
+    def run(*x):
+        parts = split_in(*x, s=s)
+        state = [p for p in parts]
+        done = [0] * s
+        outs = [None] * s
+        nph = len(phases)
+        for wave in range(nph + s - 1):
+            for i in range(s):
+                ph = wave - i
+                if 0 <= ph < nph:
+                    state[i] = phases[ph](state[i])
+                    done[i] += 1
+                    if done[i] == nph:
+                        outs[i] = state[i]
+        return join_out(outs)
+
+    return run
+
+
+def _fwd_stages(tbls, q: int, R: int, bp: int, resident: bool = False):
+    """resident=True: data lives in the transpose-free (R, bp, LANES)
+    layout end-to-end (the fused-chain form); resident=False wraps the
+    same body in the (bp, R, LANES) interface the host kernels use."""
     A1, T3, Dp, C1, C3 = tbls
     b1, b3 = _bias_bits(NDIG * R), _bias_bits(NDIG * LANES)
 
-    def stages(alo, ahi):
-        # (bp, R, L) -> (R, bp, L): contraction axis to the front
-        alo = jnp.transpose(alo, (1, 0, 2))
-        ahi = jnp.transpose(ahi, (1, 0, 2))
-        # rows: S2 (8R, bp*L) digit planes, one dot per accumulator
-        digs = _split8(alo, ahi)
-        S2 = jnp.concatenate(digs, axis=0).reshape(NDIG * R, bp * LANES)
-        es = [_dot(A1[j], S2).reshape(R, bp, LANES) for j in range(NDIG)]
+    # phases alternate MXU-heavy (p0, p2) and VPU-heavy (p1, p3) work;
+    # sub-chunk width is inferred (-1) so stagger parts reuse them
+    def p0(st):
+        # rows: S2 (8R, bpp*L) digit planes, one dot per accumulator
+        digs = _split8(*st)
+        S2 = jnp.concatenate(digs, axis=0).reshape(NDIG * R, -1)
+        return [_dot(A1[j], S2).reshape(R, -1, LANES) for j in range(NDIG)]
+
+    def p1(es):
         wlo, whi = _recombine(
             es, b1, C1[0][:, None, :], C1[1][:, None, :], q)
         # middle twiddle: per-position Shoup constants
-        ylo, yhi = _shoup_const(
+        return _shoup_const(
             wlo, whi, tuple(t[:, None, :] for t in Dp), q)
-        # lanes: Y2 (R*bp, 8L) @ T3[j] (8L, L)
-        ydigs = _split8(ylo, yhi)
-        Y2 = jnp.concatenate(ydigs, axis=2).reshape(R * bp, NDIG * LANES)
-        es3 = [_dot(Y2, T3[j]).reshape(R, bp, LANES) for j in range(NDIG)]
+
+    def p2(st):
+        # lanes: Y2 (R*bpp, 8L) @ T3[j] (8L, L)
+        ydigs = _split8(*st)
+        Y2 = jnp.concatenate(ydigs, axis=2).reshape(-1, NDIG * LANES)
+        return [_dot(Y2, T3[j]).reshape(R, -1, LANES) for j in range(NDIG)]
+
+    def p3(es3):
         zlo, zhi = _recombine(
             es3, b3, C3[0][0][None, None, :], C3[1][0][None, None, :], q)
-        zlo, zhi = _fold_final(zlo, zhi, q)
+        return _fold_final(zlo, zhi, q)
+
+    stages_r = _assemble((p0, p1, p2, p3), bp)
+
+    if resident:
+        return stages_r
+
+    def stages(alo, ahi):
+        # (bp, R, L) -> (R, bp, L): contraction axis to the front
+        zlo, zhi = stages_r(
+            jnp.transpose(alo, (1, 0, 2)), jnp.transpose(ahi, (1, 0, 2))
+        )
         return (
             jnp.transpose(zlo, (1, 0, 2)), jnp.transpose(zhi, (1, 0, 2))
         )
@@ -361,12 +419,73 @@ def _fwd_stages(tbls, q: int, R: int, bp: int):
     return stages
 
 
-def _inv_stages(tbls, q: int, R: int, bp: int):
+def _assemble(phases, bp: int):
+    """Compose the phase list into a (R, bp, LANES)-resident stage
+    function, staggered over ALOHA_MXU_STAGGER sub-chunks when set."""
+    s = _stagger()
+    while s > 1 and bp % s:
+        s -= 1
+
+    def plain(alo, ahi):
+        st = (alo, ahi)
+        for ph in phases:
+            st = ph(st)
+        return st
+
+    if s == 1:
+        return plain
+
+    def split_in(alo, ahi, s):
+        w = alo.shape[1] // s
+        return [
+            (alo[:, i * w:(i + 1) * w], ahi[:, i * w:(i + 1) * w])
+            for i in range(s)
+        ]
+
+    def join_out(outs):
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=1),
+            jnp.concatenate([o[1] for o in outs], axis=1),
+        )
+
+    return _staggered(list(phases), split_in, join_out, s)
+
+
+def _inv_stages(tbls, q: int, R: int, bp: int, resident: bool = False):
     MA, TA, Dp, CA, CC = tbls
     ba, bc = _bias_bits(NDIG * LANES), _bias_bits(NDIG * R)
 
+    def p0(st):
+        # lanes first: (R, bpp, L); Z2 (R*bpp, 8L) @ TA[j]
+        digs = _split8(*st)
+        Z2 = jnp.concatenate(digs, axis=2).reshape(-1, NDIG * LANES)
+        return [_dot(Z2, TA[j]).reshape(R, -1, LANES) for j in range(NDIG)]
+
+    def p1(es):
+        wlo, whi = _recombine(
+            es, ba, CA[0][0][None, None, :], CA[1][0][None, None, :], q)
+        return _shoup_const(
+            wlo, whi, tuple(t[:, None, :] for t in Dp), q)
+
+    def p2(st):
+        # rows: Y2 (8R, bpp*L), contraction axis already leading
+        ydigs = _split8(*st)
+        Y2 = jnp.concatenate(ydigs, axis=0).reshape(NDIG * R, -1)
+        return [_dot(MA[j], Y2).reshape(R, -1, LANES) for j in range(NDIG)]
+
+    def p3(es3):
+        zlo, zhi = _recombine(
+            es3, bc, CC[0][:, None, :], CC[1][:, None, :], q)
+        return _fold_final(zlo, zhi, q)
+
+    stages_r = _assemble((p0, p1, p2, p3), bp)
+
+    if resident:
+        return stages_r
+
     def stages(alo, ahi):
-        # lanes first: (bp, R, L) stays put; Z2 (bp*R, 8L) @ TA[j]
+        # lanes first: (bp, R, L) stays put (contraction only needs the
+        # trailing lane axis); Z2 (bp*R, 8L) @ TA[j]
         digs = _split8(alo, ahi)
         Z2 = jnp.concatenate(digs, axis=2).reshape(bp * R, NDIG * LANES)
         es = [_dot(Z2, TA[j]).reshape(bp, R, LANES) for j in range(NDIG)]
@@ -483,6 +602,94 @@ def _mxu_call(alo, ahi, *, q, root, inverse):
     bp, nchunks = S._chunking(nb)
     tables = _tables_jax(n, q, root, inverse)
     body = functools.partial(_body, inverse, q, nchunks, bp, rows)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    with jax.enable_x64(False):
+        call = pl.pallas_call(
+            body,
+            in_specs=[vmem] * len(tables) + [hbm] * 2,
+            out_specs=[hbm] * 2,
+            out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
+            input_output_aliases={len(tables): 0, len(tables) + 1: 1},
+            interpret=bool(os.environ.get("ALOHA_STREAM_INTERPRET")),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=int(
+                    os.environ.get("ALOHA_STREAM_VMEM", str(100 * 2**20))
+                ),
+            ),
+        )
+        return call(*tables, alo, ahi)
+
+
+def _chain_body(inverse, q, nchunks, bp, rows, k,
+                A1, T3, dwl, dwh, ds0, ds1, ds2, ds3, c1l, c1h, c3l, c3h,
+                xlo, xhi, olo, ohi):
+    """k data-dependent transforms fused in ONE launch: each chunk is
+    DMA'd to VMEM once, iterated k times in the transpose-free resident
+    (R, bp, LANES) layout, and written back once — the per-transform HBM
+    round trip and the 4 per-transform layout transposes of the chained
+    single-shot form disappear (cf. the reference keeping all 18
+    keyswitch transforms SPM-resident, sim/vp/isram_file_generator/
+    keyswitch.mem)."""
+    tbls = (
+        A1, T3,
+        (dwl[:], dwh[:], ds0[:], ds1[:], ds2[:], ds3[:]),
+        (c1l[:], c1h[:]), (c3l[:], c3h[:]),
+    )
+    mk = _inv_stages if inverse else _fwd_stages
+    stages_r = mk(tbls, q, rows, bp, resident=True)
+
+    # Mosaic in-kernel loops support unroll=1 or full only; a manual
+    # partial unroll (U transforms per fori iteration) trades compile
+    # time for cross-transform scheduling.  Default 1: the remote
+    # kernel-compile service prices a U-times-bigger body at minutes
+    # scale (a U=4 K=128 chain blew a 25-minute budget).
+    u = int(os.environ.get("ALOHA_MXU_CHAIN_UNROLL", "1"))
+    while k % u:
+        u //= 2
+
+    def it(_, c):
+        for _i in range(u):
+            c = stages_r(*c)
+        return c
+
+    def chain_stages(alo, ahi):
+        alo = jnp.transpose(alo, (1, 0, 2))
+        ahi = jnp.transpose(ahi, (1, 0, 2))
+        alo, ahi = jax.lax.fori_loop(
+            np.int32(0), np.int32(k // u), it, (alo, ahi), unroll=1,
+        )
+        return (
+            jnp.transpose(alo, (1, 0, 2)), jnp.transpose(ahi, (1, 0, 2))
+        )
+
+    def hbm_at(ref, c):
+        return ref.at[pl.ds(c * np.int32(bp), bp)]
+
+    def inner(ilo, ihi, qlo, qhi, sem_in, sem_out):
+        S._chunk_pipeline(
+            ilo, ihi, qlo, qhi, sem_in, sem_out,
+            chain_stages, nchunks, bp, xlo, xhi, olo, ohi, hbm_at,
+        )
+
+    S._scoped_pipeline(inner, bp, rows)
+
+
+def ntt_chain_planes(alo, ahi, q: int, psi: int, k: int,
+                     inverse: bool = False):
+    """k successive MXU NTTs (data-dependent, each a full negacyclic
+    transform) on (nb, rows, 128) u32 planes, fused into one kernel
+    launch with the polynomials VMEM-resident across iterations."""
+    root = pow(int(psi), q - 2, q) if inverse else psi
+    nb = alo.shape[0]
+    rows = alo.shape[1]
+    n = rows * LANES
+    bp, nchunks = S._chunking(nb)
+    tables = _tables_jax(n, q, root, inverse)
+    body = functools.partial(
+        _chain_body, inverse, q, nchunks, bp, rows, int(k)
+    )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     with jax.enable_x64(False):

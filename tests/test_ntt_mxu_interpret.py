@@ -84,3 +84,36 @@ def test_odd_batch_chunking():
     q = CFG.special_prime
     psi = pow(CFG.psi[-1], CFG.n // 1024, q)
     _run(3, 1024, q, psi)
+
+
+def test_staggered_body(monkeypatch):
+    # ALOHA_MXU_STAGGER=2 interleaves two sub-chunks (MXU/VPU overlap);
+    # results must be identical to the plain body
+    monkeypatch.setenv("ALOHA_MXU_STAGGER", "2")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "4")
+    q = CFG.moduli[0]
+    psi = pow(CFG.psi[0], CFG.n // 1024, q)
+    _run(4, 1024, q, psi)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fused_chain(inverse):
+    # k fused in-kernel transforms == k chained single-shot transforms
+    import jax.numpy as jnp
+
+    from aloha_tpu.ops import ntt_mxu
+
+    q, n, k = CFG.moduli[0], 1024, 3
+    psi = pow(CFG.psi[0], CFG.n // n, q)
+    root = pow(psi, q - 2, q) if inverse else psi
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    want = a
+    for _ in range(k):
+        want = (ntt_np.intt if inverse else ntt_np.ntt)(want, q, root)
+    lo = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32).reshape(2, -1, 128))
+    hi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32).reshape(2, -1, 128))
+    olo, ohi = ntt_mxu.ntt_chain_planes(lo, hi, q, root, k, inverse=inverse)
+    got = (np.asarray(olo).astype(np.uint64)
+           | (np.asarray(ohi).astype(np.uint64) << np.uint64(32)))
+    assert np.array_equal(got.reshape(2, n), want)
