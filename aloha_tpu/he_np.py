@@ -62,6 +62,21 @@ def hom_add(ct1: Ciphertext, ct2: Ciphertext, cfg: HEConfig = DEFAULT_CONFIG) ->
     return Ciphertext(a=a, b=b)
 
 
+def hom_sub(ct1: Ciphertext, ct2: Ciphertext, cfg: HEConfig = DEFAULT_CONFIG) -> Ciphertext:
+    """ct - ct: limb-wise modular subtract of both components.
+
+    (reference ISA: vfqsub.vv, src/vp/sequncer/expander.v:294-373 — the
+    reference ships no canned hom_sub program but the instruction exists)
+    """
+    a = np.stack(
+        [rns.submod(ct1.a[i], ct2.a[i], cfg.moduli[i]) for i in range(len(ct1.a))]
+    )
+    b = np.stack(
+        [rns.submod(ct1.b[i], ct2.b[i], cfg.moduli[i]) for i in range(len(ct1.b))]
+    )
+    return Ciphertext(a=a, b=b)
+
+
 def mul_plain(ct: Ciphertext, pt: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG) -> Ciphertext:
     """ct x pt: limb-wise pointwise modular multiply (both in NTT domain).
 
@@ -198,7 +213,26 @@ def rotate(
       5. add aut(a) to the message part                             (vfqadd)
     """
     n = ct.a.shape[-1]
-    step_exp = pow(3, step, 2 * n)
+    return galois(ct, pow(3, step, 2 * n), ksk, cfg)
+
+
+def conjugate(
+    ct: Ciphertext, cjk: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG
+) -> Ciphertext:
+    """Slot conjugation: the Galois automorphism X -> X^(2N-1) + key-switch
+    (z_k -> conj(z_k) on the CKKS slots).  cjk: keys.gen_conjugation_key."""
+    return galois(ct, 2 * ct.a.shape[-1] - 1, cjk, cfg)
+
+
+def galois(
+    ct: Ciphertext,
+    step_exp: int,
+    ksk: np.ndarray,
+    cfg: HEConfig = DEFAULT_CONFIG,
+) -> Ciphertext:
+    """Arbitrary Galois automorphism X -> X^step_exp + hybrid key-switch
+    (the shared core of rotate/conjugate; ksk = keys.gen_galois_key for
+    the same exponent)."""
     moduli = cfg.moduli
     n_limbs = cfg.n_limbs
 

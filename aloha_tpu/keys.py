@@ -201,18 +201,35 @@ def gen_ksk(
     return out
 
 
+def gen_galois_key(
+    sk: SecretKey, exp: int, cfg: HEConfig = DEFAULT_CONFIG, rng=None
+) -> np.ndarray:
+    """KSK for an arbitrary Galois automorphism X -> X^exp (exp odd):
+    switches aut(s) back to s.  Rotation keys use exp = 3^step;
+    conjugation uses exp = 2N - 1."""
+    if exp % 2 == 0:
+        raise ValueError("Galois exponent must be odd")
+    # automorphism on the signed secret: coefficient permutation with sign
+    n = cfg.n
+    i = np.arange(n)
+    jdx = (i * exp) % (2 * n)
+    s_aut = np.zeros(n, dtype=np.int64)
+    s_aut[jdx & (n - 1)] = np.where(jdx >= n, -sk.coeff, sk.coeff)
+    return gen_ksk(s_aut, sk, cfg, rng)
+
+
 def gen_rotation_key(
     sk: SecretKey, step: int, cfg: HEConfig = DEFAULT_CONFIG, rng=None
 ) -> np.ndarray:
     """KSK for the slot rotation by `step`: aut(s) -> s, aut = X -> X^(3^step)."""
-    step_exp = pow(3, step, 2 * cfg.n)
-    # automorphism on the signed secret: coefficient permutation with sign
-    n = cfg.n
-    i = np.arange(n)
-    jdx = (i * step_exp) % (2 * n)
-    s_aut = np.zeros(n, dtype=np.int64)
-    s_aut[jdx & (n - 1)] = np.where(jdx >= n, -sk.coeff, sk.coeff)
-    return gen_ksk(s_aut, sk, cfg, rng)
+    return gen_galois_key(sk, pow(3, step, 2 * cfg.n), cfg, rng)
+
+
+def gen_conjugation_key(
+    sk: SecretKey, cfg: HEConfig = DEFAULT_CONFIG, rng=None
+) -> np.ndarray:
+    """KSK for slot conjugation: aut = X -> X^(2N-1) (z_k -> conj(z_k))."""
+    return gen_galois_key(sk, 2 * cfg.n - 1, cfg, rng)
 
 
 def gen_relin_key(
