@@ -35,7 +35,10 @@ import numpy as np
 from aloha_tpu import encoder_hw as H
 from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
 
-jax.config.update("jax_enable_x64", True)
+# x64 is required for the int64 fixed-point arithmetic but must stay
+# LEXICAL: the Pallas kernels trace with x64 disabled (CLAUDE.md), so
+# the public entry points wrap trace-time in jax.enable_x64(True)
+# instead of mutating global config at import.
 
 I64 = jnp.int64
 
@@ -138,6 +141,11 @@ def xfft(xr, xi):
     """The 34-bit scaled radix-2^2 inverse FFT over the last axis
     ((..., L) int64 in, natural-order out) — jittable; arithmetic
     identical to encoder_hw.xfft2048."""
+    with jax.enable_x64(True):
+        return _xfft_impl(xr, xi)
+
+
+def _xfft_impl(xr, xi):
     L = xr.shape[-1]
     lead = xr.shape[:-1]
     levels, perm = _fft_consts(L)
@@ -204,6 +212,11 @@ def encode(
             "the encoder hardware pipeline is fixed at N = 8192 "
             "(4 channels x 2048-pt FFTs, reference: src/encoder/)"
         )
+    with jax.enable_x64(True):
+        return _encode_impl(cleartext, cfg)
+
+
+def _encode_impl(cleartext, cfg: HEConfig):
     c = jnp.asarray(cleartext, dtype=jnp.float64)
     lead = c.shape[:-1]
     z_re = jnp.rint(c[..., 0::2] * 2.0**32).astype(I64)
@@ -211,7 +224,7 @@ def encode(
     src, sgn = _channel_gather_np(cfg.n)
     xr = z_re[..., jnp.asarray(src)]
     xi = z_im[..., jnp.asarray(src)] * jnp.asarray(sgn)
-    Fr, Fi = xfft(xr, xi)  # (..., 4, 2048)
+    Fr, Fi = _xfft_impl(xr, xi)  # (..., 4, 2048)
     T = H.get_combine_roms(cfg.n)  # (4, 4, 2048, 2)
     rows = [
         _combine_trunc(

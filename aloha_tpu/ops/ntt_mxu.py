@@ -483,6 +483,21 @@ def _inv_stages(tbls, q: int, R: int, bp: int, resident: bool = False):
     if resident:
         return stages_r
 
+    if _stagger() > 1:
+        # staggered sub-chunks need the (R, bp, L) resident layout; pay
+        # the two transposes so the knob is not silently inert on the
+        # inverse path (the un-staggered default keeps the
+        # transpose-free body below)
+        def stages_t(alo, ahi):
+            zlo, zhi = stages_r(
+                jnp.transpose(alo, (1, 0, 2)), jnp.transpose(ahi, (1, 0, 2))
+            )
+            return (
+                jnp.transpose(zlo, (1, 0, 2)), jnp.transpose(zhi, (1, 0, 2))
+            )
+
+        return stages_t
+
     def stages(alo, ahi):
         # lanes first: (bp, R, L) stays put (contraction only needs the
         # trailing lane axis); Z2 (bp*R, 8L) @ TA[j]
@@ -645,7 +660,7 @@ def _chain_body(inverse, q, nchunks, bp, rows, k,
     # time for cross-transform scheduling.  Default 1: the remote
     # kernel-compile service prices a U-times-bigger body at minutes
     # scale (a U=4 K=128 chain blew a 25-minute budget).
-    u = int(os.environ.get("ALOHA_MXU_CHAIN_UNROLL", "1"))
+    u = max(1, int(os.environ.get("ALOHA_MXU_CHAIN_UNROLL", "1")))
     while k % u:
         u //= 2
 

@@ -19,6 +19,27 @@ def test_auto_resolves_to_xla_on_cpu():
     assert dispatch.get_impl() == "xla"  # the suite pins the CPU backend
 
 
+def test_auto_resolution_order(monkeypatch):
+    """auto resolves mxu -> stream -> pallas-grid -> xla; an
+    MXU-ineligible modulus must land on the stream kernel (~400k NTT/s),
+    not the 4x-slower grid kernel."""
+    from aloha_tpu.ops import ntt_mxu, ntt_pallas, ntt_stream
+
+    monkeypatch.setattr(ntt_pallas, "available", lambda: True)
+    monkeypatch.setattr(ntt_stream, "available", lambda: True)
+    monkeypatch.setattr(ntt_mxu, "available", lambda: True)
+    dispatch.set_impl("auto")
+    a = np.zeros((1, 8192), dtype=np.uint64)
+    q_fit = CFG.moduli[0]  # in (2^59, 2^60): the MXU kernel qualifies
+    assert dispatch._resolve(a, q_fit) == "mxu"
+    q_low = (1 << 59) - 45  # valid datapath modulus below the 2^59 floor
+    assert dispatch._resolve(a, q_low) == "stream"
+    a_small = np.zeros((1, 128), dtype=np.uint64)  # single sublane row
+    assert dispatch._resolve(a_small, q_low) == "pallas"
+    monkeypatch.setattr(ntt_pallas, "available", lambda: False)
+    assert dispatch._resolve(a, q_fit) == "xla"
+
+
 def test_explicit_rejects_unknown():
     with pytest.raises(ValueError):
         dispatch.set_impl("cuda")

@@ -175,3 +175,32 @@ def test_ct_mul_rescale(sk):
     # leaves ~4-5 bits of slot precision at this parameterization — the
     # same trade any CKKS stack makes with Delta << q.
     assert np.abs(got - z1 * z2).max() < 0.15
+
+
+def test_hom_sub_slots(sk):
+    z1 = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
+    z2 = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
+    ct1 = keys.encrypt(_encode_signed(z1), sk, CFG, np.random.default_rng(15))
+    ct2 = keys.encrypt(_encode_signed(z2), sk, CFG, np.random.default_rng(16))
+    got = _slots(he.hom_sub(ct1, ct2, CFG), sk)
+    assert np.abs(got - (z1 - z2)).max() < 1e-4
+
+
+def test_conjugate_with_generated_key(sk):
+    z = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
+    ct = keys.encrypt(_encode_signed(z), sk, CFG, np.random.default_rng(17))
+    cjk = keys.gen_conjugation_key(sk, CFG, np.random.default_rng(18))
+    got = _slots(he.conjugate(ct, cjk, CFG), sk)
+    assert np.abs(got - np.conj(z)).max() < 1e-4  # key-switch noise
+
+
+def test_galois_matches_rotate_word_exact(sk):
+    """galois with exponent 3^step mod 2N IS the rotation (API contract:
+    he_np.rotate == he_np.galois at the matching Galois exponent)."""
+    z = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
+    ct = keys.encrypt(_encode_signed(z), sk, CFG, np.random.default_rng(19))
+    step = 3
+    ksk = keys.gen_rotation_key(sk, step, CFG, np.random.default_rng(20))
+    ct_r = he.rotate(ct, step, ksk, CFG)
+    ct_g = he.galois(ct, pow(3, step, 2 * N), ksk, CFG)
+    assert (ct_r.a == ct_g.a).all() and (ct_r.b == ct_g.b).all()
