@@ -57,15 +57,51 @@ MASK34 = (1 << 34) - 1
 
 
 # ------------------------------------------------------------------ helpers
-def _shift_round_conv(v: np.ndarray, s: int) -> np.ndarray:
+#: Tie-break behavior at exact .5 fractions, per rounding site (the one
+#: structural unknown left in the Xilinx FFT emulation — swept
+#: exhaustively by tools/encoder_tie_sweep.py; "even" = convergent
+#: rounding, the shipped IP configuration, confirmed best).
+#:   even/odd      — round tie to even/odd quotient
+#:   up/down       — tie toward +inf / -inf
+#:   away/toward   — tie away from / toward zero
+TIE_SHIFT = "even"  # plain scale shifts (>> 2 per stage pair, >> 1 final)
+TIE_PROD = "even"   # the twiddle-product shift (>> 35 per stage pair)
+#: Optional per-FFT-level override {level_size: (tie_shift, tie_prod)};
+#: level_size is the block length Lc of the stage pair (2048, 512, ...,
+#: 8) or 2 for the final radix-2 stage.  Sweep machinery only.
+TIE_LEVEL_OVERRIDE: dict = {}
+
+
+def _tie_adj(q, frac, half, mode: str):
+    """The +1 adjustment applied at exact ties (frac == half) given the
+    floor quotient q (two's-complement arithmetic shift)."""
+    at = frac == half
+    if mode == "even":
+        return at & (q & 1)
+    if mode == "odd":
+        return at & (~q & 1)
+    if mode == "up":
+        return at.astype(np.int64)
+    if mode == "down":
+        return np.zeros_like(q)
+    if mode == "away":  # x = q + .5; away-from-zero rounds up iff x > 0
+        return at & (q >= 0)
+    if mode == "toward":
+        return at & (q < 0)
+    raise ValueError(f"unknown tie mode {mode!r}")
+
+
+def _shift_round_conv(v: np.ndarray, s: int, tie: str | None = None):
     """Convergent (half-to-even) rounding of v / 2^s on int64."""
     q = v >> s
     frac = v & ((1 << s) - 1)
     half = 1 << (s - 1)
-    return q + (frac > half) + ((frac == half) & (q & 1)).astype(np.int64)
+    return q + (frac > half) + _tie_adj(
+        q, frac, half, tie or TIE_SHIFT
+    ).astype(np.int64)
 
 
-def _cmul_shift_conv(vr, vi, wr, wi, s: int):
+def _cmul_shift_conv(vr, vi, wr, wi, s: int, tie: str | None = None):
     """Convergent-rounded (v * w) >> s on complex int64 pairs, exact via
     16-bit twiddle splits (products stay inside int64)."""
     def raw(v, w):
@@ -85,7 +121,9 @@ def _cmul_shift_conv(vr, vi, wr, wi, s: int):
         qf = q1 >> k
         frac = ((q1 & ((1 << k) - 1)) << 16) | rem
         half = 1 << (s - 1)
-        return qf + (frac > half) + ((frac == half) & (qf & 1)).astype(np.int64)
+        return qf + (frac > half) + _tie_adj(
+            qf, frac, half, tie or TIE_PROD
+        ).astype(np.int64)
 
     return fin(re_hi, re_lo), fin(im_hi, im_lo)
 
@@ -342,36 +380,39 @@ def xfft2048(xr: np.ndarray, xi: np.ndarray, raw_stats: dict | None = None):
             (u0r + u1i, u0i - u1r),
         ]
         tws = _tw_tables(Lc)
+        ts_l, tp_l = TIE_LEVEL_OVERRIDE.get(Lc, (None, None))
         sub = []
         for q in range(4):
             br, bi = raw[q]
             if q == 0:
                 sub.append(
-                    (_shift_round_conv(br, 2), _shift_round_conv(bi, 2))
+                    (_shift_round_conv(br, 2, ts_l),
+                     _shift_round_conv(bi, 2, ts_l))
                 )
             else:
                 if raw_stats is not None:
                     mag = np.maximum(np.abs(br), np.abs(bi))
                     raw_stats[(Lc, q)] = mag.reshape(-1, Lq).max(axis=0)
                 wr, wi = tws[q]
-                sub.append(_cmul_shift_conv(br, bi, wr, wi, 35))
+                sub.append(_cmul_shift_conv(br, bi, wr, wi, 35, tp_l))
         # append the branch digit below the block axis: new_blk = blk*4 + q
         vr = np.stack([s[0] for s in sub], axis=-2)
         vi = np.stack([s[1] for s in sub], axis=-2)
         vr = vr.reshape(lead + (-1, Lq))
         vi = vi.reshape(lead + (-1, Lq))
         Lc = Lq
+    ts_f, _ = TIE_LEVEL_OVERRIDE.get(2, (None, None))
     er = np.stack(
         [
-            _shift_round_conv(vr[..., 0] + vr[..., 1], 1),
-            _shift_round_conv(vr[..., 0] - vr[..., 1], 1),
+            _shift_round_conv(vr[..., 0] + vr[..., 1], 1, ts_f),
+            _shift_round_conv(vr[..., 0] - vr[..., 1], 1, ts_f),
         ],
         -1,
     )
     ei = np.stack(
         [
-            _shift_round_conv(vi[..., 0] + vi[..., 1], 1),
-            _shift_round_conv(vi[..., 0] - vi[..., 1], 1),
+            _shift_round_conv(vi[..., 0] + vi[..., 1], 1, ts_f),
+            _shift_round_conv(vi[..., 0] - vi[..., 1], 1, ts_f),
         ],
         -1,
     )
