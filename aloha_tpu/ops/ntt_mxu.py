@@ -369,10 +369,19 @@ def _staggered(phases, split_in, join_out, s: int):
     return run
 
 
-def _fwd_stages(tbls, q: int, R: int, bp: int, resident: bool = False):
+def _fwd_stages(tbls, q: int, R: int, bp: int, resident: bool = False,
+                lazy: bool = False):
     """resident=True: data lives in the transpose-free (R, bp, LANES)
     layout end-to-end (the fused-chain form); resident=False wraps the
-    same body in the (bp, R, LANES) interface the host kernels use."""
+    same body in the (bp, R, LANES) interface the host kernels use.
+
+    lazy=True: skip the final fold+condsub — output is W == out (mod q),
+    W < 20q + 2^59 (the _fold59 window), a valid u64.  The digit split
+    (_split8) accepts any u64 and the fold-margin analysis covers the
+    full +-128 digit range regardless of input magnitude, so chained
+    iterations need canonicalization only ONCE at chain end (the TPU
+    form of the reference ALU's lazy [0, 2q) operand windows,
+    src/vp/vxu/modalu.sv:44-46)."""
     A1, T3, Dp, C1, C3 = tbls
     b1, b3 = _bias_bits(NDIG * R), _bias_bits(NDIG * LANES)
 
@@ -400,6 +409,8 @@ def _fwd_stages(tbls, q: int, R: int, bp: int, resident: bool = False):
     def p3(es3):
         zlo, zhi = _recombine(
             es3, b3, C3[0][0][None, None, :], C3[1][0][None, None, :], q)
+        if lazy:
+            return zlo, zhi
         return _fold_final(zlo, zhi, q)
 
     stages_r = _assemble((p0, p1, p2, p3), bp)
@@ -451,7 +462,8 @@ def _assemble(phases, bp: int):
     return _staggered(list(phases), split_in, join_out, s)
 
 
-def _inv_stages(tbls, q: int, R: int, bp: int, resident: bool = False):
+def _inv_stages(tbls, q: int, R: int, bp: int, resident: bool = False,
+                lazy: bool = False):
     MA, TA, Dp, CA, CC = tbls
     ba, bc = _bias_bits(NDIG * LANES), _bias_bits(NDIG * R)
 
@@ -476,6 +488,8 @@ def _inv_stages(tbls, q: int, R: int, bp: int, resident: bool = False):
     def p3(es3):
         zlo, zhi = _recombine(
             es3, bc, CC[0][:, None, :], CC[1][:, None, :], q)
+        if lazy:
+            return zlo, zhi
         return _fold_final(zlo, zhi, q)
 
     stages_r = _assemble((p0, p1, p2, p3), bp)
@@ -653,7 +667,12 @@ def _chain_body(inverse, q, nchunks, bp, rows, k,
         (c1l[:], c1h[:]), (c3l[:], c3h[:]),
     )
     mk = _inv_stages if inverse else _fwd_stages
-    stages_r = mk(tbls, q, rows, bp, resident=True)
+    # lazy chain (default on): iterations pass the _fold59 window
+    # (W < 20q + 2^59, a valid u64) straight into the next digit split;
+    # ONE canonicalizing fold+condsub runs after the loop instead of k
+    # of them.  ALOHA_MXU_CHAIN_LAZY=0 restores per-iteration folds.
+    lazy = os.environ.get("ALOHA_MXU_CHAIN_LAZY", "1") != "0"
+    stages_r = mk(tbls, q, rows, bp, resident=True, lazy=lazy)
 
     # Mosaic in-kernel loops support unroll=1 or full only; a manual
     # partial unroll (U transforms per fori iteration) trades compile
@@ -675,6 +694,8 @@ def _chain_body(inverse, q, nchunks, bp, rows, k,
         alo, ahi = jax.lax.fori_loop(
             np.int32(0), np.int32(k // u), it, (alo, ahi), unroll=1,
         )
+        if lazy:
+            alo, ahi = _fold_final(alo, ahi, q)
         return (
             jnp.transpose(alo, (1, 0, 2)), jnp.transpose(ahi, (1, 0, 2))
         )

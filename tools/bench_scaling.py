@@ -29,7 +29,15 @@ def main():
     ap.add_argument("--batch-per-device", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--step", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend via the config API (the "
+                    "hosted environment ignores JAX_PLATFORMS env vars)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     from aloha_tpu.parallel import multihost
 
