@@ -109,18 +109,20 @@ def _aut_tile(lo, hi, q: int, Qr, Pr, rm, sg, nbits: int):
 
 
 # --------------------------------------------------------- stage factories
-def _mk_stages(mode, tbl_refs, m, q, rows, bp, logn, inverse):
+def _mk_stages(mode, tbl_refs, m, q, rows, bp, logn, inverse, lazy=False):
     """One modulus' transform body from stacked table refs.
 
     mode 'stream': the butterfly stage loops (ns._make_stage_loops, 6
     stacked table planes); mode 'mxu': the 4-step int8-digit matmul form
     (ntt_mxu.make_stages, 12 stacked operands).  Both return a function
     (alo, ahi) -> (zlo, zhi) on (bp, rows, LANES) planes with canonical
-    [0, q) output."""
+    [0, q) output — except mxu with lazy=True, which emits the fold59
+    window (W < 20q + 2^59) for consumers that accept arbitrary u64."""
     if mode == "mxu":
         from aloha_tpu.ops import ntt_mxu
 
-        return ntt_mxu.make_stages(tbl_refs, m, q, rows, bp, inverse)
+        return ntt_mxu.make_stages(tbl_refs, m, q, rows, bp, inverse,
+                                   lazy=lazy)
     tbl = tuple(ns._TblSlice(r, m) for r in tbl_refs)
     fwd, inv = ns._make_stage_loops(tbl, q, rows, bp, logn)
     return inv if inverse else fwd
@@ -149,7 +151,8 @@ def _ks_ntt_mode(cfg: HEConfig) -> str:
 
 # ------------------------------------------------------------ head kernel
 def _head_body(
-    cfg: HEConfig, bp: int, rows: int, mode: str, ni: int, nf: int,
+    cfg: HEConfig, bp: int, rows: int, mode: str, lazy_out: bool,
+    ni: int, nf: int,
     *refs,
     # refs: ni inverse-table refs (stacked (L, ...)), nf forward-table
     # refs (stacked (L+1, ...)), Qr, Pr, rm, sg automorphism constants,
@@ -202,8 +205,12 @@ def _head_body(
             polys.append(x)
         slo = jnp.stack([p[0] for p in polys], axis=1)
         shi = jnp.stack([p[1] for p in polys], axis=1)
+        # the raised digits feed ONLY the tail's inner products; on the
+        # Shoup tail (x < 2^64 arbitrary -> < 3q) the forward NTT can
+        # emit the lazy fold59 window and skip L+1 final folds
         fwd = _mk_stages(
-            mode, ftbl, mm, moduli[mm], rows, bp * L, logn, False
+            mode, ftbl, mm, moduli[mm], rows, bp * L, logn, False,
+            lazy=lazy_out,
         )
         rlo, rhi = fwd(
             slo.reshape(bp * L, rows, LANES),
@@ -437,14 +444,24 @@ def ntt_domain_aut(plane, e: int, n: int):
     return jnp.take(plane, perm, axis=-1)
 
 
-def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
+def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig,
+            lazy_out: bool = False):
     """(L, nb, rows, LANES) b-part planes
-    -> (L+1, nb, L, rows, LANES) raised digit planes."""
+    -> (L+1, nb, L, rows, LANES) raised digit planes.
+
+    lazy_out=True (mxu mode only): the raised digits come out in the
+    fold59 window instead of canonical — callers must feed them to a
+    consumer that accepts arbitrary u64 (the Shoup tail;
+    ALOHA_KS_LAZY_HEAD=0 disables)."""
     L = cfg.n_limbs
     nb = xlo.shape[1]
     rows = cfg.n // LANES
     bp = _chunk(nb)
     mode = _ks_ntt_mode(cfg)
+    lazy_out = (
+        lazy_out and mode == "mxu"
+        and os.environ.get("ALOHA_KS_LAZY_HEAD", "1") != "0"
+    )
     itbl, ftbl = _head_tables(cfg, mode)
     Q, P, rm, sg = _aut_consts_np(cfg.n, step_exp)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl, Q, P, rm, sg)]
@@ -452,7 +469,7 @@ def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig):
     grid = (nb // bp,)
     full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
     body = functools.partial(
-        _head_body, cfg, bp, rows, mode, len(itbl), len(ftbl)
+        _head_body, cfg, bp, rows, mode, lazy_out, len(itbl), len(ftbl)
     )
     with jax.enable_x64(False):
         call = pl.pallas_call(
@@ -624,11 +641,17 @@ def rotate_planes(a, b, step_exp: int, ksk, cfg: HEConfig):
         t = lo.reshape(nb, L, rows, LANES)
         return jnp.moveaxis(t, 1, 0)
 
-    nlo, nhi = ks_head(pack(blo), pack(bhi), step_exp, cfg)
+    klo, khi = ksk
+    traced_key = isinstance(klo, jax.core.Tracer)
+    # Shoup tail accepts arbitrary u64 digits -> the head's forward NTT
+    # can skip its L+1 final folds (lazy); the traced-key Barrett tail
+    # needs canonical inputs.
+    nlo, nhi = ks_head(
+        pack(blo), pack(bhi), step_exp, cfg, lazy_out=not traced_key
+    )
     rlo = pack(ntt_domain_aut(alo, step_exp, cfg.n))
     rhi = pack(ntt_domain_aut(ahi, step_exp, cfg.n))
-    klo, khi = ksk
-    if isinstance(klo, jax.core.Tracer):  # key not concrete: no prepare
+    if traced_key:  # key not concrete: no prepare
         kplanes = (
             klo.reshape(2 * L * (L + 1), rows, LANES),
             khi.reshape(2 * L * (L + 1), rows, LANES),

@@ -229,15 +229,20 @@ def _inv_tables_np(n: int, q: int, psi: int):
 
 # ---------------------------------------------------------- kernel helpers
 def _split8(lo, hi):
-    """u32 pair -> 8 int8 planes holding byte_k - 128 (biased digits)."""
-    X = U32(0x80)
+    """u32 pair -> 8 int8 planes holding byte_k - 128 (biased digits).
+
+    The per-byte bias flip is hoisted to ONE xor per u32 word (xor
+    commutes with whole-byte extraction): 2 xors + 6 shift/masks per
+    word instead of 8 xors + 10 shift/masks."""
+    X4 = U32(0x80808080)
     B = U32(0xFF)
     outs = []
     for w in (lo, hi):
-        outs.append(((w & B) ^ X).astype(I8))
-        outs.append((((w >> U32(8)) & B) ^ X).astype(I8))
-        outs.append((((w >> U32(16)) & B) ^ X).astype(I8))
-        outs.append(((w >> U32(24)) ^ X).astype(I8))
+        wx = w ^ X4
+        outs.append((wx & B).astype(I8))
+        outs.append(((wx >> U32(8)) & B).astype(I8))
+        outs.append(((wx >> U32(16)) & B).astype(I8))
+        outs.append((wx >> U32(24)).astype(I8))
     return outs
 
 
@@ -328,9 +333,14 @@ def _fold_final(wlo, whi, q: int):
 
 def _shoup_const(vlo, vhi, tbl, q: int):
     """x * w mod q for per-position constants w (Shoup, limb quotient);
-    x < 2^64 arbitrary -> result < 3q."""
+    x < 2^64 arbitrary -> result < 3q (ALOHA_MXU_MUL=limb10: the
+    10-multiply quotient, result < 6q — still a valid u64 for the digit
+    split, A/B'd within window noise like the stream kernel's knob)."""
     wl, wh, s0, s1, s2, s3 = tbl
-    return S._shoup_mul_limb(vlo, vhi, wl, wh, s0, s1, s2, s3, q)
+    return S._shoup_mul_limb(
+        vlo, vhi, wl, wh, s0, s1, s2, s3, q,
+        drop3=os.environ.get("ALOHA_MXU_MUL") == "limb10",
+    )
 
 
 # ------------------------------------------------------------- stage bodies
@@ -558,12 +568,16 @@ def stacked_tables_np(n: int, qs, psis, inverse: bool):
     return tuple(np.stack(f) for f in zip(*per))
 
 
-def make_stages(refs, m: int, q: int, rows: int, bp: int, inverse: bool):
+def make_stages(refs, m: int, q: int, rows: int, bp: int, inverse: bool,
+                lazy: bool = False):
     """Build the 4-step stage closure over STACKED kernel refs (the
     12-tuple of stacked_tables_np operands); `m` selects the modulus.
     Returns a function (alo, ahi) -> (zlo, zhi) on (bp, rows, LANES)
     planes with canonical [0, q) output — interface-compatible with the
-    ntt_stream stage loops consumed by ks_kernel."""
+    ntt_stream stage loops consumed by ks_kernel.  lazy=True skips the
+    final fold (output W == z mod q, W < 20q + 2^59): only valid when
+    every consumer accepts arbitrary u64 (e.g. the Shoup inner
+    products)."""
     from aloha_tpu.ops.ntt_stream import _TblSlice
 
     A, T, dwl, dwh, ds0, ds1, ds2, ds3, cal, cah, cbl, cbh = refs
@@ -572,7 +586,9 @@ def make_stages(refs, m: int, q: int, rows: int, bp: int, inverse: bool):
         (dwl[m], dwh[m], ds0[m], ds1[m], ds2[m], ds3[m]),
         (cal[m], cah[m]), (cbl[m], cbh[m]),
     )
-    return (_inv_stages if inverse else _fwd_stages)(tbls, q, rows, bp)
+    return (_inv_stages if inverse else _fwd_stages)(
+        tbls, q, rows, bp, lazy=lazy
+    )
 
 
 # ---------------------------------------------------------------- the call

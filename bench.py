@@ -303,90 +303,36 @@ def _bench():
 
     emit(ntts_per_sec)
 
-    # tier MXU: the 4-step int8-digit matmul kernel is the fastest
-    # measured path (0.98 us/poly = 1.02e6 NTT/s at BP=32); it compiles
-    # in ~6 min cold, so it runs after tier 1 secured a metric line.
+    # tier MXU-chain (primary): K transforms fused in ONE kernel launch
+    # with the chunk VMEM-resident in the transpose-free layout (no
+    # per-transform HBM round trip), K large enough that the ~30 ms
+    # tunnel dispatch amortizes to < 10% (K=1024 measured the recorded
+    # protocol at 99% of the marginal rate), multi-streamed with ONE
+    # stacked readback.  Compile cost is K-independent (fori trip
+    # count), ~1-2 min vs ~6 min for the chained single-shot form.
+    mxu_chain_done = False
+    bm = int(os.environ.get("ALOHA_BENCH_BATCH3", "256"))
+    S = int(os.environ.get("ALOHA_BENCH_STREAMS", "6"))
     if impl == "stream" and not smoke and not os.environ.get(
         "ALOHA_BENCH_NO_MXU"
     ):
+        os.environ["ALOHA_STREAM_BP"] = os.environ.get(
+            "ALOHA_BENCH_MXU_BP", "32"
+        )
+        xm = jax.block_until_ready(
+            jax.jit(lambda v: jax.tree.map(lambda t: t[:bm], v))(xr)
+        )
+        xs = None
         try:
             from aloha_tpu.ops import ntt_mxu as _nm
 
-            os.environ["ALOHA_STREAM_BP"] = os.environ.get(
-                "ALOHA_BENCH_MXU_BP", "32"
-            )
-            bm = int(os.environ.get("ALOHA_BENCH_BATCH3", "256"))
-            km = int(os.environ.get("ALOHA_BENCH_ITERS3", "192"))
-            xm = jax.block_until_ready(
-                jax.jit(lambda v: jax.tree.map(lambda t: t[:bm], v))(xr)
-            )
-
-            def fnm(p):
-                return _nm.ntt_planes(*p, q, psi)
-
-            def chainm(v):
-                for _ in range(km):
-                    v = fnm(v)
-                return v
-
-            cfnm = jax.jit(chainm)
-            out = cfnm(xm)
-            leaf = jax.tree.leaves(out)[0]
-            _ = np.asarray(leaf[(0,) * leaf.ndim])
-            mxu_ok = _chk(out, km)
-            state["ok"] = mxu_ok
-            bestm = 0.0
-            for _trial in range(4):
-                t0 = time.perf_counter()
-                out = cfnm(xm)
-                leaf = jax.tree.leaves(out)[0]
-                _ = np.asarray(leaf[(0,) * leaf.ndim])
-                dt = time.perf_counter() - t0
-                bestm = max(bestm, bm * km / dt)
-            if bestm > ntts_per_sec:
-                impl = "mxu"
-                ntts_per_sec = bestm
-                emit(bestm)
-            # pipelined multi-stream (the production protocol): S
-            # independent chains issued back-to-back so the ~30 ms
-            # tunnel round-trip overlaps device compute.
-            S = int(os.environ.get("ALOHA_BENCH_STREAMS", "6"))
-            xs = [
-                jax.block_until_ready(
-                    jax.jit(lambda v, i=i: jax.tree.map(
-                        lambda t: jnp.roll(t[:bm], i, axis=0), v))(xr)
-                )
-                for i in range(S)
-            ]
-            bestp = 0.0
-            for _trial in range(4):
-                t0 = time.perf_counter()
-                outs = [cfnm(x) for x in xs]
-                # ONE stacked readback: a single scalar fetch that
-                # data-depends on every chain (serial per-chain fetches
-                # each pay the ~30 ms tunnel RTT)
-                comb = jnp.stack(
-                    [_scalar0(o) for o in outs]
-                )
-                _ = np.asarray(comb)
-                dt = time.perf_counter() - t0
-                bestp = max(bestp, S * bm * km / dt)
-            if bestp > ntts_per_sec:
-                impl = "mxu"
-                ntts_per_sec = bestp
-                emit(bestp)
-            # tier MXU-chain: K transforms fused in ONE kernel launch
-            # (chunks stay VMEM-resident in the transpose-free layout
-            # across iterations; no per-transform HBM round trip), then
-            # multi-streamed with the single stacked readback.
-            kc = int(os.environ.get("ALOHA_BENCH_CHAIN_K", str(km)))
+            kc = int(os.environ.get("ALOHA_BENCH_CHAIN_K", "1024"))
             fnc = jax.jit(
                 lambda p: _nm.ntt_chain_planes(*p, q, psi, kc)
             )
             out = fnc(xm)
             _ = np.asarray(_scalar0(out))
-            chain_ok = _chk(out, kc)
-            state["ok"] = chain_ok
+            state["ok"] = _chk(out, kc)
             bestc = 0.0
             for _trial in range(4):
                 t0 = time.perf_counter()
@@ -398,6 +344,13 @@ def _bench():
                 impl = "mxu_chain"
                 ntts_per_sec = bestc
                 emit(bestc)
+            xs = [
+                jax.block_until_ready(
+                    jax.jit(lambda v, i=i: jax.tree.map(
+                        lambda t: jnp.roll(t[:bm], i, axis=0), v))(xr)
+                )
+                for i in range(S)
+            ]
             bestcs = 0.0
             for _trial in range(4):
                 t0 = time.perf_counter()
@@ -412,6 +365,70 @@ def _bench():
                 impl = "mxu_chain"
                 ntts_per_sec = bestcs
                 emit(bestcs)
+            mxu_chain_done = True
+        except Exception as e:  # pragma: no cover - toolchain dependent
+            print(f"# mxu chain tier skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
+    # tier MXU single-shot (fallback when the chain kernel failed):
+    # chained ntt_planes launches, then multi-streamed.
+    if impl == "stream" and not smoke and not mxu_chain_done and (
+        not os.environ.get("ALOHA_BENCH_NO_MXU")
+    ):
+        try:
+            from aloha_tpu.ops import ntt_mxu as _nm
+
+            km = int(os.environ.get("ALOHA_BENCH_ITERS3", "192"))
+
+            def fnm(p):
+                return _nm.ntt_planes(*p, q, psi)
+
+            def chainm(v):
+                for _ in range(km):
+                    v = fnm(v)
+                return v
+
+            cfnm = jax.jit(chainm)
+            out = cfnm(xm)
+            leaf = jax.tree.leaves(out)[0]
+            _ = np.asarray(leaf[(0,) * leaf.ndim])
+            state["ok"] = _chk(out, km)
+            bestm = 0.0
+            for _trial in range(4):
+                t0 = time.perf_counter()
+                out = cfnm(xm)
+                leaf = jax.tree.leaves(out)[0]
+                _ = np.asarray(leaf[(0,) * leaf.ndim])
+                dt = time.perf_counter() - t0
+                bestm = max(bestm, bm * km / dt)
+            if bestm > ntts_per_sec:
+                impl = "mxu"
+                ntts_per_sec = bestm
+                emit(bestm)
+            # pipelined multi-stream: S independent chains issued
+            # back-to-back so the ~30 ms tunnel round-trip overlaps
+            # device compute; ONE stacked readback data-depends on all.
+            xs = [
+                jax.block_until_ready(
+                    jax.jit(lambda v, i=i: jax.tree.map(
+                        lambda t: jnp.roll(t[:bm], i, axis=0), v))(xr)
+                )
+                for i in range(S)
+            ]
+            bestp = 0.0
+            for _trial in range(4):
+                t0 = time.perf_counter()
+                outs = [cfnm(x) for x in xs]
+                comb = jnp.stack(
+                    [_scalar0(o) for o in outs]
+                )
+                _ = np.asarray(comb)
+                dt = time.perf_counter() - t0
+                bestp = max(bestp, S * bm * km / dt)
+            if bestp > ntts_per_sec:
+                impl = "mxu"
+                ntts_per_sec = bestp
+                emit(bestp)
         except Exception as e:  # pragma: no cover - toolchain dependent
             print(f"# mxu kernel tier skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
