@@ -728,20 +728,132 @@ def _chain_body(inverse, q, nchunks, bp, rows, k,
     S._scoped_pipeline(inner, bp, rows)
 
 
+def _chain_ways_body(inverse, q, nchunks, bp, rows, k, ways,
+                     A1, T3, dwl, dwh, ds0, ds1, ds2, ds3,
+                     c1l, c1h, c3l, c3h,
+                     xlo, xhi, olo, ohi):
+    """W independent chunks' chains traced in LOCKSTEP.
+
+    A single chunk's chain is strictly serial (each transform consumes
+    the previous one's output), so its MXU and VPU phases can never
+    overlap — the parts probe measured the body as their exact sum.
+    W >= 2 chunks are data-independent: tracing their stage calls side
+    by side per iteration gives the Mosaic scheduler one chunk's digit
+    matmuls (MXU) to issue under another's recombine/Shoup chain (VPU)
+    at FULL matmul sizes — unlike the sub-chunk stagger, which halved
+    the matmuls and measured 1.5x WORSE.  DMA is negligible against a
+    K-long chain (2 MB vs ~40 ms of compute), so the W buffers load
+    and store without double buffering."""
+    tbls = (
+        A1, T3,
+        (dwl[:], dwh[:], ds0[:], ds1[:], ds2[:], ds3[:]),
+        (c1l[:], c1h[:]), (c3l[:], c3h[:]),
+    )
+    mk = _inv_stages if inverse else _fwd_stages
+    lazy = os.environ.get("ALOHA_MXU_CHAIN_LAZY", "1") != "0"
+    stages_r = mk(tbls, q, rows, bp, resident=True, lazy=lazy)
+    u = max(1, int(os.environ.get("ALOHA_MXU_CHAIN_UNROLL", "1")))
+    while k % u:
+        u //= 2
+    W = ways
+    ngroups = nchunks // W
+
+    def inner(ib_lo, ib_hi, ob_lo, ob_hi, sem_in, sem_out):
+        def group(g, _):
+            ws = [np.int32(w) for w in range(W)]
+            copies = []
+            for w in range(W):
+                c = g * np.int32(W) + ws[w]
+                for p, (src, dst) in enumerate(
+                    ((xlo, ib_lo), (xhi, ib_hi))
+                ):
+                    copies.append(pltpu.make_async_copy(
+                        src.at[pl.ds(c * np.int32(bp), bp)],
+                        dst.at[ws[w]], sem_in.at[ws[w], np.int32(p)],
+                    ))
+            for d in copies:
+                d.start()
+            for d in copies:
+                d.wait()
+            st = []
+            for w in range(W):
+                st.append(jnp.transpose(ib_lo[ws[w]], (1, 0, 2)))
+                st.append(jnp.transpose(ib_hi[ws[w]], (1, 0, 2)))
+
+            def it(_, cs):
+                for _i in range(u):
+                    nxt = []
+                    for w in range(W):
+                        l, h = stages_r(cs[2 * w], cs[2 * w + 1])
+                        nxt += [l, h]
+                    cs = tuple(nxt)
+                return cs
+
+            cs = jax.lax.fori_loop(
+                np.int32(0), np.int32(k // u), it, tuple(st), unroll=1,
+            )
+            outs = []
+            for w in range(W):
+                l, h = cs[2 * w], cs[2 * w + 1]
+                if lazy:
+                    l, h = _fold_final(l, h, q)
+                ob_lo[ws[w]] = jnp.transpose(l, (1, 0, 2))
+                ob_hi[ws[w]] = jnp.transpose(h, (1, 0, 2))
+                c = g * np.int32(W) + ws[w]
+                for p, (src, dst) in enumerate(
+                    ((ob_lo, olo), (ob_hi, ohi))
+                ):
+                    outs.append(pltpu.make_async_copy(
+                        src.at[ws[w]],
+                        dst.at[pl.ds(c * np.int32(bp), bp)],
+                        sem_out.at[ws[w], np.int32(p)],
+                    ))
+            for d in outs:
+                d.start()
+            for d in outs:
+                d.wait()
+            return 0
+
+        jax.lax.fori_loop(np.int32(0), np.int32(ngroups), group, 0)
+
+    pl.run_scoped(
+        inner,
+        ib_lo=pltpu.VMEM((W, bp, rows, LANES), jnp.uint32),
+        ib_hi=pltpu.VMEM((W, bp, rows, LANES), jnp.uint32),
+        ob_lo=pltpu.VMEM((W, bp, rows, LANES), jnp.uint32),
+        ob_hi=pltpu.VMEM((W, bp, rows, LANES), jnp.uint32),
+        sem_in=pltpu.SemaphoreType.DMA((W, 2)),
+        sem_out=pltpu.SemaphoreType.DMA((W, 2)),
+    )
+
+
 def ntt_chain_planes(alo, ahi, q: int, psi: int, k: int,
                      inverse: bool = False):
     """k successive MXU NTTs (data-dependent, each a full negacyclic
     transform) on (nb, rows, 128) u32 planes, fused into one kernel
-    launch with the polynomials VMEM-resident across iterations."""
+    launch with the polynomials VMEM-resident across iterations.
+
+    ALOHA_MXU_CHAIN_WAYS=W (default 1) runs W chunks' chains in
+    lockstep so their independent MXU/VPU phases can overlap (see
+    _chain_ways_body); nchunks must divide by W (falls back to the
+    largest W that fits)."""
     root = pow(int(psi), q - 2, q) if inverse else psi
     nb = alo.shape[0]
     rows = alo.shape[1]
     n = rows * LANES
     bp, nchunks = S._chunking(nb)
     tables = _tables_jax(n, q, root, inverse)
-    body = functools.partial(
-        _chain_body, inverse, q, nchunks, bp, rows, int(k)
-    )
+    ways = max(1, int(os.environ.get("ALOHA_MXU_CHAIN_WAYS", "1")))
+    while nchunks % ways:
+        ways -= 1
+    if ways > 1:
+        body = functools.partial(
+            _chain_ways_body, inverse, q, nchunks, bp, rows, int(k), ways
+        )
+    else:
+        body = functools.partial(
+            _chain_body, inverse, q, nchunks, bp, rows, int(k)
+        )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     with jax.enable_x64(False):

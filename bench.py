@@ -26,9 +26,12 @@ def main():
     # under a hard timeout, falling back to the XLA path so this script
     # ALWAYS prints its metric line.
     if "--child" not in sys.argv and not os.environ.get("ALOHA_BENCH_NO_FORK"):
-        # budget covers tier 1 (~1.5 min) + the MXU tier's cold compile
-        # (~6.5 min) with headroom; warm /tmp/jax_cache runs take ~2 min
-        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "1500"))
+        # budget covers tier 1 (~1.5 min) + the MXU chain tier's cold
+        # compile; the remote compile service has epochs where ONE cold
+        # kernel compile takes ~26 min (measured round 4), so the budget
+        # is generous — warm /tmp/jax_cache runs take ~2-3 min total and
+        # per-tier metric lines are salvaged on timeout either way.
+        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "3300"))
         line = _run_child({}, budget)
         if line:
             print(line)

@@ -117,3 +117,29 @@ def test_fused_chain(inverse):
     got = (np.asarray(olo).astype(np.uint64)
            | (np.asarray(ohi).astype(np.uint64) << np.uint64(32)))
     assert np.array_equal(got.reshape(2, n), want)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fused_chain_ways(monkeypatch, inverse):
+    """The W-way lockstep chain (independent chunks interleaved for
+    MXU/VPU overlap) is bit-identical to the 1-way form."""
+    import jax.numpy as jnp
+
+    from aloha_tpu.ops import ntt_mxu
+
+    monkeypatch.setenv("ALOHA_MXU_CHAIN_WAYS", "2")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")  # 4 chunks of 2 -> 2 groups
+    q, n, k = CFG.moduli[0], 1024, 3
+    psi = pow(CFG.psi[0], CFG.n // n, q)
+    root = pow(psi, q - 2, q) if inverse else psi
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, q, size=(8, n), dtype=np.uint64)
+    want = a
+    for _ in range(k):
+        want = (ntt_np.intt if inverse else ntt_np.ntt)(want, q, root)
+    lo = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32).reshape(8, -1, 128))
+    hi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32).reshape(8, -1, 128))
+    olo, ohi = ntt_mxu.ntt_chain_planes(lo, hi, q, root, k, inverse=inverse)
+    got = (np.asarray(olo).astype(np.uint64)
+           | (np.asarray(ohi).astype(np.uint64) << np.uint64(32)))
+    assert np.array_equal(got.reshape(8, n), want)
