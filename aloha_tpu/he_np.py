@@ -131,14 +131,18 @@ def hybrid_keyswitch(
     program (sim/vp/isram_file_generator/keyswitch.mem), shared between
     rotation (digits of aut(b)) and relinearization (digits of d2).
     """
-    n = cfg.n
+    return hybrid_keyswitch_ntt(raise_digits(digits, cfg), ksk, cfg)
+
+
+def raise_digits(digits, cfg: HEConfig = DEFAULT_CONFIG):
+    """Raise coefficient-domain digits to every modulus and NTT them.
+
+    Returns nd[j][m] = NTT_qm(lift(digits[j])) — the "raised digit"
+    planes the key-switch inner products consume (steps 2 of the
+    reference keyswitch program).  Split out of hybrid_keyswitch so
+    hoisted rotations can share ONE raise across many steps."""
     moduli = cfg.moduli
     n_limbs = cfg.n_limbs
-    sp = cfg.special_prime
-    stride = 2 * n_limbs  # polys per modulus: L digits x (a, b)
-    ksk = rns.to_u64(ksk).reshape(stride * (n_limbs + 1), n)
-
-    # raise digits to every modulus and transform
     nd = [[None] * (n_limbs + 1) for _ in range(n_limbs)]
     for j, d in enumerate(digits):
         for m in range(n_limbs + 1):
@@ -149,6 +153,20 @@ def hybrid_keyswitch(
             else:
                 r = rns.modred(d, moduli[m])  # vfqmod semantics
             nd[j][m] = nttm.ntt(r, moduli[m], cfg.psi[m])
+    return nd
+
+
+def hybrid_keyswitch_ntt(
+    nd, ksk: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG
+):
+    """Key-switch core on NTT-domain raised digits nd[j][m] (steps 3-4
+    of the reference program: KSK inner products + P mod-down)."""
+    n = cfg.n
+    moduli = cfg.moduli
+    n_limbs = cfg.n_limbs
+    sp = cfg.special_prime
+    stride = 2 * n_limbs  # polys per modulus: L digits x (a, b)
+    ksk = rns.to_u64(ksk).reshape(stride * (n_limbs + 1), n)
 
     def inner(m, part):
         q = moduli[m]
@@ -258,6 +276,56 @@ def galois(
         ]
     )
     return Ciphertext(a=a_rot, b=ks_b)
+
+
+def rotate_hoisted(
+    ct: Ciphertext,
+    steps,
+    ksks,
+    cfg: HEConfig = DEFAULT_CONFIG,
+):
+    """Many rotations of ONE ciphertext sharing a single digit
+    decomposition + raise (Halevi-Shoup hoisting, beyond the reference).
+
+    The expensive key-switch head — per-limb INTT, digit raise to every
+    modulus, L(L+1)+L forward NTTs — runs ONCE; each step then costs
+    only an NTT-domain gather (the automorphism as a permutation of
+    evaluation points), the KSK inner products, and the mod-down tail.
+    Valid here because the digits are plain residues d_j = b mod q_j —
+    reduction is a ring homomorphism, so the automorphism commutes with
+    it, and aut(lift(d_j)) over the integers has the same coefficient
+    bound (< q_j) as lift(aut(d_j)): identical noise growth, applied
+    AFTER the raise instead of before.  Outputs decrypt identically to
+    rotate() but are NOT word-equal to it (different — equally valid —
+    digit lift representatives).
+
+    steps: slot rotation amounts; ksks: the matching per-step
+    key-switch keys (the SAME keys rotate() uses).  Returns a list of
+    Ciphertexts aligned with steps.
+    """
+    n = ct.a.shape[-1]
+    moduli = cfg.moduli
+    n_limbs = cfg.n_limbs
+
+    # aut-free head: digits of b itself, raised and NTT'd once
+    digits = [nttm.intt_cfg(ct.b[j], cfg, j) for j in range(n_limbs)]
+    nd = raise_digits(digits, cfg)
+
+    outs = []
+    for step, ksk in zip(steps, ksks):
+        e = pow(3, step, 2 * n)
+        perm = nttm.ntt_aut_perm(n, e)
+        nd_e = [[nd[j][m][..., perm] for m in range(n_limbs + 1)]
+                for j in range(n_limbs)]
+        ks_a, ks_b = hybrid_keyswitch_ntt(nd_e, ksk, cfg)
+        a_rot = np.stack(
+            [
+                rns.addmod(ct.a[m][..., perm], ks_a[m], moduli[m])
+                for m in range(n_limbs)
+            ]
+        )
+        outs.append(Ciphertext(a=a_rot, b=ks_b))
+    return outs
 
 
 def ct_mul(

@@ -368,6 +368,29 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
     return (a_rot, b_rot)
 
 
+def rotate_hoisted(ct, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
+    """Rotate ONE ciphertext by several steps sharing a single
+    key-switch head (Halevi-Shoup hoisting; he_np.rotate_hoisted is the
+    oracle).  steps: slot amounts; ksks: matching (lo, hi) key planes
+    (the same keys rotate() uses).  Returns a list of (a, b) plane
+    ciphertexts aligned with steps.
+
+    On the fused-kernel path the head (8 of the rotation's 14
+    transforms) runs once for all steps — the per-step cost is an
+    NTT-domain gather plus the tail kernel, ~2.3x less transform work
+    per rotation at large len(steps).  The non-kernel fallback performs
+    plain per-step rotations (functionally identical at decrypt level,
+    no hoisting speedup)."""
+    a, b = ct
+    n = a[0].shape[-1]
+    exps = [pow(3, s, 2 * n) for s in steps]
+    if _use_stream() and os.environ.get("ALOHA_KS_KERNEL", "1") != "0":
+        from aloha_tpu.ops import ks_kernel
+
+        return ks_kernel.rotate_planes_hoisted(a, b, exps, ksks, cfg)
+    return [rotate(ct, s, k, cfg) for s, k in zip(steps, ksks)]
+
+
 def ct_mul(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
     """Ciphertext x ciphertext tensor product (NTT domain, pointwise).
 

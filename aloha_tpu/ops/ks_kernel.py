@@ -152,7 +152,7 @@ def _ks_ntt_mode(cfg: HEConfig) -> str:
 # ------------------------------------------------------------ head kernel
 def _head_body(
     cfg: HEConfig, bp: int, rows: int, mode: str, lazy_out: bool,
-    ni: int, nf: int,
+    aut: bool, ni: int, nf: int,
     *refs,
     # refs: ni inverse-table refs (stacked (L, ...)), nf forward-table
     # refs (stacked (L+1, ...)), Qr, Pr, rm, sg automorphism constants,
@@ -175,15 +175,20 @@ def _head_body(
     moduli = cfg.moduli
     logn = (rows * LANES).bit_length() - 1
     nbits = rows.bit_length() - 1
-    Q_ = Qr[...]
-    P_ = Pr[...]
-    rm_ = rm[...]
-    sg_ = sg[...]
+    Q_ = Qr[...] if aut else None
+    P_ = Pr[...] if aut else None
+    rm_ = rm[...] if aut else None
+    sg_ = sg[...] if aut else None
 
     digits = []
     for m in range(L):
         inv = _mk_stages(mode, itbl, m, moduli[m], rows, bp, logn, True)
         lo, hi = inv(xlo[m], xhi[m])
+        if not aut:
+            # hoisted head: digits of b itself (the per-step
+            # automorphism rides later as an NTT-domain gather)
+            digits.append((lo, hi))
+            continue
         alo, ahi = [], []
         for p in range(bp):
             tl, th = _aut_tile(
@@ -417,24 +422,11 @@ def _chunk(nb: int) -> int:
     return bp
 
 
-@functools.lru_cache(maxsize=None)
 def _ntt_aut_perm_np(n: int, e: int) -> np.ndarray:
-    """NTT-domain automorphism as a gather: out[k] = in[perm[k]].
+    """NTT-domain automorphism gather table (see ntt_np.ntt_aut_perm)."""
+    from aloha_tpu import ntt_np
 
-    Output slot k holds the evaluation at psi^(2 bitrev(k) + 1);
-    X -> X^e relabels point j to point j*e mod 2n, so
-    perm[k] = bitrev((j_k * e mod 2n - 1) / 2).  Verified equal to
-    NTT(aut_coeff(INTT(.))) word-for-word on random data."""
-    logn = n.bit_length() - 1
-    k = np.arange(n)
-    br = np.zeros(n, dtype=np.int64)
-    for b in range(logn):
-        br |= ((k >> b) & 1) << (logn - 1 - b)
-    t = ((2 * br + 1) * e % (2 * n) - 1) // 2
-    kp = np.zeros(n, dtype=np.int64)
-    for b in range(logn):
-        kp |= ((t >> b) & 1) << (logn - 1 - b)
-    return kp.astype(np.int32)
+    return ntt_np.ntt_aut_perm(n, e)
 
 
 def ntt_domain_aut(plane, e: int, n: int):
@@ -444,10 +436,15 @@ def ntt_domain_aut(plane, e: int, n: int):
     return jnp.take(plane, perm, axis=-1)
 
 
-def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig,
+def ks_head(xlo, xhi, step_exp, cfg: HEConfig,
             lazy_out: bool = False):
     """(L, nb, rows, LANES) b-part planes
     -> (L+1, nb, L, rows, LANES) raised digit planes.
+
+    step_exp=None: HOISTED head — the in-kernel automorphism is
+    skipped, producing raised digits of b itself; each rotation step
+    then applies its automorphism as an NTT-domain gather on these
+    planes (rotate_planes_hoisted).
 
     lazy_out=True (mxu mode only): the raised digits come out in the
     fold59 window instead of canonical — callers must feed them to a
@@ -463,13 +460,17 @@ def ks_head(xlo, xhi, step_exp: int, cfg: HEConfig,
         and os.environ.get("ALOHA_KS_LAZY_HEAD", "1") != "0"
     )
     itbl, ftbl = _head_tables(cfg, mode)
-    Q, P, rm, sg = _aut_consts_np(cfg.n, step_exp)
+    aut = step_exp is not None
+    # e=1 identity consts keep the kernel signature stable on the
+    # hoisted path (the body never touches them when aut is False)
+    Q, P, rm, sg = _aut_consts_np(cfg.n, step_exp if aut else 1)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl, Q, P, rm, sg)]
     ntbl = len(itbl) + len(ftbl)
     grid = (nb // bp,)
     full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
     body = functools.partial(
-        _head_body, cfg, bp, rows, mode, lazy_out, len(itbl), len(ftbl)
+        _head_body, cfg, bp, rows, mode, lazy_out, aut,
+        len(itbl), len(ftbl)
     )
     with jax.enable_x64(False):
         call = pl.pallas_call(
@@ -671,3 +672,81 @@ def rotate_planes(a, b, step_exp: int, ksk, cfg: HEConfig):
     a_rot = (unpack(olo, 0), unpack(ohi, 0))
     b_rot = (unpack(olo, 1), unpack(ohi, 1))
     return a_rot, b_rot
+
+
+def rotate_planes_hoisted(a, b, step_exps, ksks, cfg: HEConfig):
+    """Hoisted rotations (Halevi-Shoup): ONE aut-free head shared by
+    every step, then per step an NTT-domain gather + the tail kernel.
+
+    a, b: (lo, hi) planes (..., L, N) of the ciphertext being rotated;
+    step_exps: Galois exponents (3^step mod 2N); ksks: matching list of
+    (lo, hi) key planes — the SAME keys rotate_planes uses.  Returns a
+    list of (a_rot, b_rot) aligned with step_exps.
+
+    Validity: the digits are plain residues (reduction = ring
+    homomorphism, commutes with the automorphism) and aut(lift(d))
+    over the integers carries the same < q_j coefficient bound as
+    lift(aut(d)) — identical noise, so the head's INTT + digit raise +
+    L(L+1)+L forward NTTs (8 of the rotation's 14 transforms) amortize
+    over all steps.  Outputs decrypt identically to rotate_planes but
+    are not word-equal to it (different digit lift representatives);
+    word-exact against the he_np.rotate_hoisted oracle."""
+    L = cfg.n_limbs
+    rows = cfg.n // LANES
+    alo, ahi = a
+    blo, bhi = b
+    batch = alo.shape[:-2]
+    nb = int(np.prod(batch)) if batch else 1
+    n = cfg.n
+
+    def pack(lo):
+        t = lo.reshape(nb, L, rows, LANES)
+        return jnp.moveaxis(t, 1, 0)
+
+    traced = any(
+        isinstance(k[0], jax.core.Tracer) or isinstance(k[1], jax.core.Tracer)
+        for k in ksks
+    )
+    nlo, nhi = ks_head(
+        pack(blo), pack(bhi), None, cfg, lazy_out=not traced
+    )
+
+    def gather(t, e):
+        # (..., rows, LANES) planes: automorphism over the flattened
+        # coefficient axis (lazy representatives permute like values)
+        shp = t.shape
+        return ntt_domain_aut(
+            t.reshape(shp[:-2] + (n,)), e, n
+        ).reshape(shp)
+
+    def unpack(t, part):
+        u = jnp.moveaxis(t[:, :, part], 0, 1)
+        return u.reshape(batch + (L, cfg.n))
+
+    outs = []
+    for e, ksk in zip(step_exps, ksks):
+        glo = gather(nlo, e)
+        ghi = gather(nhi, e)
+        rlo = pack(ntt_domain_aut(alo, e, n))
+        rhi = pack(ntt_domain_aut(ahi, e, n))
+        klo, khi = ksk
+        if isinstance(klo, jax.core.Tracer) or isinstance(
+            khi, jax.core.Tracer
+        ):
+            kplanes = (
+                klo.reshape(2 * L * (L + 1), rows, LANES),
+                khi.reshape(2 * L * (L + 1), rows, LANES),
+            )
+            kshoup = None
+        else:
+            klo2, khi2, *kshoup = prepare_ksk(ksk, cfg)
+            kplanes = (klo2, khi2)
+            kshoup = tuple(kshoup)
+        olo, ohi = ks_tail(
+            glo, ghi, rlo, rhi, *kplanes, cfg, kshoup=kshoup
+        )
+        outs.append(
+            ((unpack(olo, 0), unpack(ohi, 0)),
+             (unpack(olo, 1), unpack(ohi, 1)))
+        )
+    return outs

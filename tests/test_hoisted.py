@@ -1,0 +1,113 @@
+"""Hoisted rotations (Halevi-Shoup): one key-switch head, many steps.
+
+Beyond-reference feature: the reference's 122-instruction keyswitch
+program re-runs its digit decompose + raise for every rotation
+(sim/vp/isram_file_generator/keyswitch.mem); hoisting shares that head
+across steps, valid here because the digits are plain residues (ring
+homomorphisms commute with the Galois automorphism).  The oracle is
+checked at decrypt level against plain rotation; the fused kernels are
+checked word-exact against the oracle through the interpreter.
+"""
+
+import numpy as np
+import pytest
+
+from aloha_tpu import encoder, he_np, keys
+from aloha_tpu.config import DEFAULT_CONFIG as CFG
+
+L, N = CFG.n_limbs, CFG.n
+S = N // 2
+STEPS = [1, 2, 5]
+
+
+@pytest.fixture(scope="module")
+def material():
+    rng = np.random.default_rng(21)
+    sk = keys.gen_secret(CFG, np.random.default_rng(22))
+    z = rng.uniform(-1, 1, size=S) + 1j * rng.uniform(-1, 1, size=S)
+    pt = encoder.encode(encoder.cleartext_from_slots(z), CFG)
+    q0 = CFG.moduli[0]
+    signed = np.where(
+        pt[0] > q0 // 2,
+        pt[0].astype(np.int64) - np.int64(q0),
+        pt[0].astype(np.int64),
+    )
+    ct = keys.encrypt(signed, sk, CFG, np.random.default_rng(23))
+    ksks = [
+        keys.gen_rotation_key(sk, s, CFG, np.random.default_rng(30 + s))
+        for s in STEPS
+    ]
+    return sk, z, ct, ksks
+
+
+def _slots(ct, sk):
+    m = keys.decrypt(ct, sk, CFG)
+    res = np.where(m < 0, m + np.int64(CFG.moduli[0]), m).astype(np.uint64)
+    return encoder.decode(res[None, :], CFG, limb=0)
+
+
+def test_oracle_decrypts_to_rotations(material):
+    sk, z, ct, ksks = material
+    outs = he_np.rotate_hoisted(ct, STEPS, ksks, CFG)
+    for s, out in zip(STEPS, outs):
+        err = np.abs(_slots(out, sk) - np.roll(z, -s)).max()
+        assert err < 1e-4, f"step {s}: slot error {err}"
+
+
+def test_oracle_matches_rotate_noise_envelope(material):
+    """Hoisted and plain rotation use different (equally valid) digit
+    lifts: outputs differ word-wise but decrypt to the same slots
+    within the keyswitch noise envelope."""
+    sk, _, ct, ksks = material
+    outs = he_np.rotate_hoisted(ct, STEPS, ksks, CFG)
+    for s, ksk, out in zip(STEPS, ksks, outs):
+        ref = he_np.rotate(
+            he_np.Ciphertext(a=ct.a.copy(), b=ct.b.copy()), s, ksk, CFG
+        )
+        diff = np.abs(_slots(out, sk) - _slots(ref, sk)).max()
+        assert diff < 1e-4, f"step {s}: hoisted-vs-rotate {diff}"
+        assert not (out.b == ref.b).all()  # different lift representatives
+
+
+@pytest.mark.parametrize("ks_ntt", ["stream", "mxu"])
+def test_kernel_hoisted_matches_oracle(monkeypatch, material, ks_ntt):
+    """The fused-kernel hoisted path (aut-free head kernel + per-step
+    NTT-domain gather + tail kernel) is word-exact against the NumPy
+    oracle, for both in-kernel transform modes."""
+    pytest.importorskip("jax.experimental.pallas")
+    from aloha_tpu import he_planes
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_KS_NTT", ks_ntt)
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    _, _, ct, ksks = material
+    steps = STEPS[:2]
+    want = he_np.rotate_hoisted(ct, steps, ksks[:2], CFG)
+    ctp = (he_planes.from_u64(ct.a), he_planes.from_u64(ct.b))
+    kp = [he_planes.from_u64(k) for k in ksks[:2]]
+    outs = he_planes.rotate_hoisted(ctp, steps, kp, CFG)
+    for s, w, (oa, ob) in zip(steps, want, outs):
+        assert np.array_equal(np.asarray(he_planes.to_u64(oa)), w.a), s
+        assert np.array_equal(np.asarray(he_planes.to_u64(ob)), w.b), s
+
+
+def test_fallback_is_plain_rotations(monkeypatch, material):
+    """With the fused kernels disabled the wrapper degrades to plain
+    per-step rotations (no hoisting, same decrypt semantics)."""
+    pytest.importorskip("jax.experimental.pallas")
+    from aloha_tpu import he_planes
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_KS_KERNEL", "0")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    _, _, ct, ksks = material
+    ctp = (he_planes.from_u64(ct.a), he_planes.from_u64(ct.b))
+    kp = [he_planes.from_u64(ksks[0])]
+    (oa, ob), = he_planes.rotate_hoisted(ctp, [1], kp, CFG)
+    want = he_np.rotate(
+        he_np.Ciphertext(a=ct.a.copy(), b=ct.b.copy()), 1, ksks[0], CFG
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
