@@ -233,3 +233,16 @@ def rescale(ct, cfg: HEConfig = DEFAULT_CONFIG):
 
     a, b = hp.rescale((hp.from_u64(ct[0]), hp.from_u64(ct[1])), cfg)
     return hp.to_u64(a), hp.to_u64(b)
+
+
+def rotate_hoisted(ct, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
+    """Many rotations of one ciphertext sharing a single key-switch
+    head (uint64 surface; he_planes.rotate_hoisted holds the native
+    implementation, he_np.rotate_hoisted is the oracle)."""
+    from aloha_tpu import he_planes as hp
+
+    outs = hp.rotate_hoisted(
+        (hp.from_u64(ct[0]), hp.from_u64(ct[1])),
+        steps, [hp.from_u64(k) for k in ksks], cfg,
+    )
+    return [(hp.to_u64(a), hp.to_u64(b)) for a, b in outs]

@@ -92,6 +92,22 @@ def test_kernel_hoisted_matches_oracle(monkeypatch, material, ks_ntt):
         assert np.array_equal(np.asarray(he_planes.to_u64(ob)), w.b), s
 
 
+def test_he_jax_surface_matches_oracle(monkeypatch, material):
+    """The uint64 wrapper delegates to the plane path (one step to keep
+    the interpret-mode cost down)."""
+    pytest.importorskip("jax.experimental.pallas")
+    from aloha_tpu import he_jax
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    _, _, ct, ksks = material
+    (oa, ob), = he_jax.rotate_hoisted((ct.a, ct.b), [1], [ksks[0]], CFG)
+    want, = he_np.rotate_hoisted(ct, [1], [ksks[0]], CFG)
+    assert np.array_equal(np.asarray(oa), want.a)
+    assert np.array_equal(np.asarray(ob), want.b)
+
+
 def test_fallback_is_plain_rotations(monkeypatch, material):
     """With the fused kernels disabled the wrapper degrades to plain
     per-step rotations (no hoisting, same decrypt semantics)."""

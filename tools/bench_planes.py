@@ -103,28 +103,40 @@ def main():
     for name in args.ops.split(","):
         step, _nbytes = ops[name]
 
-        def chain(ct, step=step):
-            for _ in range(args.iters):
-                ct = step(ct)
-            return ct
+        def measure(k, step=step):
+            """Best-time (seconds) for a k-long data-dependent chain."""
+            def chain(ct):
+                for _ in range(k):
+                    ct = step(ct)
+                return ct
 
-        cfn = jax.jit(chain)
-        out = cfn(ct1)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        _ = np.asarray(leaf[(0,) * leaf.ndim])
-        best = 0.0
-        for _t in range(args.trials):
-            t0 = time.perf_counter()
+            cfn = jax.jit(chain)
             out = cfn(ct1)
             leaf = jax.tree_util.tree_leaves(out)[0]
             _ = np.asarray(leaf[(0,) * leaf.ndim])
-            dt = time.perf_counter() - t0
-            best = max(best, B * args.iters / dt)
+            best = np.inf
+            for _t in range(args.trials):
+                t0 = time.perf_counter()
+                out = cfn(ct1)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                _ = np.asarray(leaf[(0,) * leaf.ndim])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # recorded = full dispatch+readback; marginal = K-slope (the
+        # ~30 ms tunnel dispatch says nothing about device throughput)
+        t_lo = measure(args.iters // 2)
+        t_hi = measure(args.iters)
+        recorded = B * args.iters / t_hi
+        marginal = B * (args.iters - args.iters // 2) / max(
+            t_hi - t_lo, 1e-9
+        )
         print(
             json.dumps(
                 {
                     "metric": f"{name}_planes_throughput",
-                    "value": round(best, 1),
+                    "value": round(recorded, 1),
+                    "marginal": round(marginal, 1),
                     "unit": "ops/s/chip",
                     "batch": B,
                     "chain": args.iters,
