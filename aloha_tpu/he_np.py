@@ -328,6 +328,65 @@ def rotate_hoisted(
     return outs
 
 
+def pt_rotate(pt: np.ndarray, r: int, cfg: HEConfig = DEFAULT_CONFIG):
+    """Rotate an ENCODED (NTT-domain) plaintext by r slots — free for
+    public data: the Galois automorphism is a permutation of evaluation
+    points (one gather), no key switch needed."""
+    n = pt.shape[-1]
+    e = pow(3, r % n, 2 * n)
+    perm = nttm.ntt_aut_perm(n, e)
+    return pt[..., perm]
+
+
+def matvec_bsgs(
+    ct: Ciphertext,
+    diags,
+    ksks_baby,
+    ksks_giant,
+    cfg: HEConfig = DEFAULT_CONFIG,
+    g: int = None,
+):
+    """Encrypted matrix-vector product by the diagonal method with
+    baby-step/giant-step and hoisted baby rotations (beyond the
+    reference; the standard CKKS linear-transform workload).
+
+    M v = sum_k diag_k ⊙ rot_k(v) is regrouped with D = g*b:
+        sum_i rot_{g i}( sum_j rot_{-g i}(diag_{g i + j}) ⊙ rot_j(v) )
+    so only g-1 baby rotations (HOISTED: one shared key-switch head)
+    and b-1 giant rotations are paid instead of D-1; the plaintext
+    pre-rotations are free gathers (pt_rotate).
+
+    diags: list of D encoded NTT-domain plaintexts, diags[k] holding
+    the k-th (wrapped) diagonal; ksks_baby[j-1] = key for step j
+    (j = 1..g-1); ksks_giant[i-1] = key for step g*i (i = 1..b-1).
+    """
+    D = len(diags)
+    if g is None:
+        g = max(1, int(np.ceil(np.sqrt(D))))
+    b = (D + g - 1) // g
+
+    baby_steps = list(range(1, g))
+    babies = [ct] + (
+        rotate_hoisted(ct, baby_steps, ksks_baby[: g - 1], cfg)
+        if baby_steps else []
+    )
+
+    acc = None
+    for i in range(b):
+        inner = None
+        for j in range(g):
+            k = g * i + j
+            if k >= D:
+                break
+            d = pt_rotate(np.asarray(diags[k]), -g * i, cfg)
+            t = mul_plain(babies[j], d, cfg)
+            inner = t if inner is None else hom_add(inner, t, cfg)
+        if i:
+            inner = rotate(inner, g * i, ksks_giant[i - 1], cfg)
+        acc = inner if acc is None else hom_add(acc, inner, cfg)
+    return acc
+
+
 def ct_mul(
     ct1: Ciphertext, ct2: Ciphertext, cfg: HEConfig = DEFAULT_CONFIG
 ):

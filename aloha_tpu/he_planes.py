@@ -391,6 +391,60 @@ def rotate_hoisted(ct, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
     return [rotate(ct, s, k, cfg) for s, k in zip(steps, ksks)]
 
 
+def pt_rotate(pt, r: int, cfg: HEConfig = DEFAULT_CONFIG):
+    """Rotate an ENCODED (NTT-domain) plaintext plane pair by r slots —
+    free for public data: one gather over the coefficient axis
+    (he_np.pt_rotate on planes)."""
+    from aloha_tpu import ntt_np
+
+    lo, hi = pt
+    n = lo.shape[-1]
+    e = pow(3, r % n, 2 * n)
+    perm = jnp.asarray(ntt_np.ntt_aut_perm(n, e))
+    return (
+        jnp.take(lo, perm, axis=-1),
+        jnp.take(hi, perm, axis=-1),
+    )
+
+
+def matvec_bsgs(
+    ct, diags, ksks_baby, ksks_giant,
+    cfg: HEConfig = DEFAULT_CONFIG, g: int = None,
+):
+    """Encrypted matrix-vector product: diagonal method with
+    baby-step/giant-step and HOISTED baby rotations (he_np.matvec_bsgs
+    is the oracle; word-identical given the same keys).
+
+    diags: list of D encoded NTT-domain plaintext plane pairs;
+    ksks_baby[j-1] = key for step j (j = 1..g-1); ksks_giant[i-1] =
+    key for step g*i.  Only g-1 hoisted + b-1 plain rotations are paid
+    instead of D-1 plain ones."""
+    D = len(diags)
+    if g is None:
+        g = max(1, int(np.ceil(np.sqrt(D))))
+    b = (D + g - 1) // g
+
+    baby_steps = list(range(1, g))
+    babies = [ct] + (
+        rotate_hoisted(ct, baby_steps, ksks_baby[: g - 1], cfg)
+        if baby_steps else []
+    )
+
+    acc = None
+    for i in range(b):
+        inner = None
+        for j in range(g):
+            k = g * i + j
+            if k >= D:
+                break
+            t = mul_plain(babies[j], pt_rotate(diags[k], -g * i, cfg), cfg)
+            inner = t if inner is None else hom_add(inner, t, cfg)
+        if i:
+            inner = rotate(inner, g * i, ksks_giant[i - 1], cfg)
+        acc = inner if acc is None else hom_add(acc, inner, cfg)
+    return acc
+
+
 def ct_mul(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
     """Ciphertext x ciphertext tensor product (NTT domain, pointwise).
 

@@ -108,6 +108,38 @@ def test_he_jax_surface_matches_oracle(monkeypatch, material):
     assert np.array_equal(np.asarray(ob), want.b)
 
 
+def test_oracle_three_limbs():
+    """Hoisting is limb-count generic (the reference hardwires L=2):
+    a 3-limb configuration decrypts hoisted rotations correctly."""
+    from tests.test_multilimb import CFG3
+
+    sk = keys.gen_secret(CFG3, np.random.default_rng(40))
+    z = np.zeros(CFG3.n // 2, complex)
+    z[:8] = np.arange(8) * 0.1
+    pt = encoder.encode(encoder.cleartext_from_slots(z), CFG3)
+    q0 = CFG3.moduli[0]
+    signed = np.where(
+        pt[0] > q0 // 2,
+        pt[0].astype(np.int64) - np.int64(q0),
+        pt[0].astype(np.int64),
+    )
+    ct = keys.encrypt(signed, sk, CFG3, np.random.default_rng(41))
+    steps = [1, 3]
+    ksks = [
+        keys.gen_rotation_key(sk, s, CFG3, np.random.default_rng(42 + s))
+        for s in steps
+    ]
+    outs = he_np.rotate_hoisted(ct, steps, ksks, CFG3)
+    for s, out in zip(steps, outs):
+        m = keys.decrypt(out, sk, CFG3)
+        res = np.where(
+            m < 0, m + np.int64(q0), m
+        ).astype(np.uint64)
+        got = encoder.decode(res[None, :], CFG3, limb=0)
+        err = np.abs(got - np.roll(z, -s)).max()
+        assert err < 1e-4, f"step {s}: slot error {err}"
+
+
 def test_fallback_is_plain_rotations(monkeypatch, material):
     """With the fused kernels disabled the wrapper degrades to plain
     per-step rotations (no hoisting, same decrypt semantics)."""
