@@ -4,14 +4,17 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 """Same-window A/B: hoisted rotations vs plain rotations.
 
 Hoisting (he_planes.rotate_hoisted) shares ONE key-switch head across
-K steps; plain rotation pays the head per step.  Protocol: each arm is
-ONE jitted program computing K rotations of a B-batch (keys closed over
-concretely so the Shoup-prepared tail rides), ended by a stacked scalar
-readback that data-depends on every output; best of `TRIALS`.  The
-per-rotation marginal comes from the K-slope (K_LO vs K_HI), removing
-the dispatch constant.
+K steps; plain rotation pays the head per step.  Paired protocol: both
+arms are ONE jitted program computing K rotations of a B-batch (keys
+closed over concretely -> Shoup-prepared tails), ended by a stacked
+scalar readback; best of TRIALS.  A null program (same dispatch +
+readback, no compute) is measured in the same window and subtracted, so
+the per-rotation figures are device time — at these sizes a K-slope
+would need minutes-long chains to rise above tunnel-dispatch variance,
+but the dispatch constant is identical across arms, so the paired
+difference is pure device win.
 
-Env: B (batch, default 16), K_LO/K_HI (default 2/8), TRIALS (default 4).
+Env: B (batch, default 128), K (steps, default 12), TRIALS (default 6).
 """
 import os
 import time
@@ -26,10 +29,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from aloha_tpu import he_planes as hp, keys
 from aloha_tpu.config import DEFAULT_CONFIG as CFG
 
-B = int(os.environ.get("B", "16"))
-K_LO = int(os.environ.get("K_LO", "2"))
-K_HI = int(os.environ.get("K_HI", "8"))
-TRIALS = int(os.environ.get("TRIALS", "4"))
+B = int(os.environ.get("B", "128"))
+K = int(os.environ.get("K", "12"))
+TRIALS = int(os.environ.get("TRIALS", "6"))
 L, n = CFG.n_limbs, CFG.n
 
 rng = np.random.default_rng(0)
@@ -37,7 +39,7 @@ sk = keys.gen_secret(CFG, np.random.default_rng(1))
 a = rng.integers(0, CFG.moduli[0], size=(B, L, n), dtype=np.uint64)
 b = rng.integers(0, CFG.moduli[0], size=(B, L, n), dtype=np.uint64)
 ct = (hp.from_u64(jnp.asarray(a)), hp.from_u64(jnp.asarray(b)))
-steps = list(range(1, K_HI + 1))
+steps = list(range(1, K + 1))
 ksks = [
     hp.from_u64(jnp.asarray(
         keys.gen_rotation_key(sk, s, CFG, np.random.default_rng(10 + s))
@@ -51,7 +53,7 @@ def scalar0(t):
     return leaf[(0,) * leaf.ndim]
 
 
-def run(fn, nrot):
+def run(fn):
     out = fn(ct)  # warmup/compile
     _ = np.asarray(scalar0(out))
     best = np.inf
@@ -62,30 +64,22 @@ def run(fn, nrot):
     return best
 
 
-def hoisted_fn(k):
-    def f(ct):
-        outs = hp.rotate_hoisted(ct, steps[:k], ksks[:k], CFG)
-        return jnp.stack([scalar0(o) for o in outs])
-    return jax.jit(f)
+hoisted = jax.jit(lambda ct: jnp.stack(
+    [scalar0(o) for o in hp.rotate_hoisted(ct, steps, ksks, CFG)]
+))
+plain = jax.jit(lambda ct: jnp.stack(
+    [scalar0(hp.rotate(ct, s, kk, CFG)) for s, kk in zip(steps, ksks)]
+))
+null = jax.jit(lambda ct: scalar0(ct) + jnp.uint32(1))
 
-
-def plain_fn(k):
-    def f(ct):
-        outs = [hp.rotate(ct, s, kk, CFG)
-                for s, kk in zip(steps[:k], ksks[:k])]
-        return jnp.stack([scalar0(o) for o in outs])
-    return jax.jit(f)
-
-
-print(f"B={B} K={K_LO}/{K_HI} (hoisted head shared across steps)")
+t_null = run(null)
+print(f"B={B} K={K}: null dispatch+readback {t_null*1e3:.1f} ms")
 res = {}
-for name, mk in (("hoisted", hoisted_fn), ("plain", plain_fn)):
-    t_lo = run(mk(K_LO), K_LO)
-    t_hi = run(mk(K_HI), K_HI)
-    marg = (t_hi - t_lo) / ((K_HI - K_LO) * B)
-    res[name] = marg
-    print(f"{name:8s}: K={K_LO}: {t_lo*1e3:.1f} ms  K={K_HI}: "
-          f"{t_hi*1e3:.1f} ms  marginal {marg*1e6:.1f} us/rotation "
-          f"= {1/marg:,.0f} rot/s")
-print(f"hoisting speedup (marginal per-rotation): "
+for name, fn in (("hoisted", hoisted), ("plain", plain)):
+    t = run(fn)
+    per = (t - t_null) / (K * B)
+    res[name] = per
+    print(f"{name:8s}: {t*1e3:7.1f} ms total -> {per*1e6:6.1f} us/rotation "
+          f"device = {1/per:,.0f} rot/s/chip")
+print(f"hoisting speedup (device per-rotation): "
       f"{res['plain']/res['hoisted']:.2f}x")
