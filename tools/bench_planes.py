@@ -128,15 +128,19 @@ def main():
         t_lo = measure(args.iters // 2)
         t_hi = measure(args.iters)
         recorded = B * args.iters / t_hi
-        marginal = B * (args.iters - args.iters // 2) / max(
-            t_hi - t_lo, 1e-9
+        # a tunnel-window drift between the two samples can make the
+        # full chain beat the half chain; a slope from that is noise,
+        # not a measurement — report null rather than an absurd number
+        marginal = (
+            round(B * (args.iters - args.iters // 2) / (t_hi - t_lo), 1)
+            if t_hi > t_lo else None
         )
         print(
             json.dumps(
                 {
                     "metric": f"{name}_planes_throughput",
                     "value": round(recorded, 1),
-                    "marginal": round(marginal, 1),
+                    "marginal": marginal,
                     "unit": "ops/s/chip",
                     "batch": B,
                     "chain": args.iters,
