@@ -140,6 +140,61 @@ def test_oracle_three_limbs():
         assert err < 1e-4, f"step {s}: slot error {err}"
 
 
+@pytest.mark.parametrize("ks_ntt", ["stream", "mxu"])
+def test_kernel_hoisted_three_limbs_small_ring(monkeypatch, ks_ntt):
+    """The hoisted kernel path is limb-count- and ring-degree-generic:
+    3-limb (+P) at n=1024, word-exact vs the oracle in both in-kernel
+    transform modes (config mirrors
+    test_ntt_stream_interpret.test_fused_rotate_three_limbs_small_ring)."""
+    pytest.importorskip("jax.experimental.pallas")
+    from aloha_tpu import he_planes
+    from aloha_tpu.config import HEConfig
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_KS_NTT", ks_ntt)
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    cfg = HEConfig(
+        n=1024,
+        moduli=(
+            576460752303439873,
+            576460752303702017,
+            576460752304439297,
+            576460752304619521,
+        ),
+        psi=(
+            94501300158356233,
+            476326773003166877,
+            148318682470543905,
+            148537735488545494,
+        ),
+        ipsi=(
+            351196243136101305,
+            354588920078794975,
+            101101274619666410,
+            39851676782494322,
+        ),
+    )
+    L, N = cfg.n_limbs, cfg.n
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, cfg.moduli[0], size=(L, N), dtype=np.uint64)
+    b = rng.integers(0, cfg.moduli[0], size=(L, N), dtype=np.uint64)
+    sk = keys.gen_secret(cfg, rng=np.random.default_rng(3))
+    steps = [1, 4]
+    ksks = [
+        keys.gen_rotation_key(sk, s, cfg, rng=np.random.default_rng(4 + s))
+        for s in steps
+    ]
+    ct = he_np.Ciphertext(a=a.copy(), b=b.copy())
+    want = he_np.rotate_hoisted(ct, steps, ksks, cfg)
+    ctp = (he_planes.from_u64(a), he_planes.from_u64(b))
+    outs = he_planes.rotate_hoisted(
+        ctp, steps, [he_planes.from_u64(k) for k in ksks], cfg
+    )
+    for s, w, (oa, ob) in zip(steps, want, outs):
+        assert np.array_equal(np.asarray(he_planes.to_u64(oa)), w.a), s
+        assert np.array_equal(np.asarray(he_planes.to_u64(ob)), w.b), s
+
+
 def test_fallback_is_plain_rotations(monkeypatch, material):
     """With the fused kernels disabled the wrapper degrades to plain
     per-step rotations (no hoisting, same decrypt semantics)."""
