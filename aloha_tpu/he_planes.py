@@ -183,6 +183,16 @@ def hom_add(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
     )
 
 
+def hom_sub(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
+    """(a1-a2, b1-b2) limb-wise (he_np.hom_sub on planes; the reference
+    ships no canned program but the vfqsub.vv instruction exists)."""
+    moduli = cfg.moduli[: cfg.n_limbs]
+    return (
+        _per_limb2(r32.submod64, ct1[0], ct2[0], moduli),
+        _per_limb2(r32.submod64, ct1[1], ct2[1], moduli),
+    )
+
+
 def mul_plain(ct, pt, cfg: HEConfig = DEFAULT_CONFIG):
     """(a*pt, b*pt) limb-wise pointwise (NTT domain)."""
     moduli = cfg.moduli[: cfg.n_limbs]
@@ -328,9 +338,21 @@ def rotate(ct, step: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
     keyswitch.mem correspondence.  4 kernel launches total on the
     streaming path (each NTT sweep fused across its residues).
     """
+    n = ct[0][0].shape[-1]
+    return galois(ct, pow(3, step, 2 * n), ksk, cfg)
+
+
+def conjugate(ct, cjk, cfg: HEConfig = DEFAULT_CONFIG):
+    """Slot conjugation: X -> X^(2N-1) + key-switch (he_np.conjugate on
+    planes; cjk = keys.gen_conjugation_key planes)."""
+    n = ct[0][0].shape[-1]
+    return galois(ct, 2 * n - 1, cjk, cfg)
+
+
+def galois(ct, step_exp: int, ksk, cfg: HEConfig = DEFAULT_CONFIG):
+    """Arbitrary Galois automorphism X -> X^step_exp + hybrid key-switch
+    (the shared core of rotate/conjugate; he_np.galois on planes)."""
     a, b = ct
-    n = a[0].shape[-1]
-    step_exp = pow(3, step, 2 * n)
     moduli = cfg.moduli
     L = cfg.n_limbs
 

@@ -59,6 +59,45 @@ def test_rotate(data):
     assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
 
 
+def test_hom_sub(data):
+    a, b, _, _ = data
+    rng = np.random.default_rng(31)
+    a2 = rng.integers(0, CFG.moduli[0], size=a.shape, dtype=np.uint64)
+    b2 = rng.integers(0, CFG.moduli[0], size=b.shape, dtype=np.uint64)
+    ct1 = (he_planes.from_u64(a), he_planes.from_u64(b))
+    ct2 = (he_planes.from_u64(a2), he_planes.from_u64(b2))
+    out = he_planes.hom_sub(ct1, ct2, CFG)
+    want = he_np.hom_sub(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()),
+        he_np.Ciphertext(a=a2.copy(), b=b2.copy()), CFG,
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[0])), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
+
+
+def test_galois_and_conjugate(data):
+    """galois at 3^step == rotate word-exact; conjugate (e = 2N-1)
+    matches the he_np oracle (plane-surface parity with he_np's round-3
+    additions)."""
+    a, b, _, ksk = data
+    ct = (he_planes.from_u64(a), he_planes.from_u64(b))
+    kp = he_planes.from_u64(ksk)
+    og = he_planes.galois(ct, pow(3, 2, 2 * N), kp, CFG)
+    orot = he_planes.rotate(ct, 2, kp, CFG)
+    for g, r in zip(og, orot):
+        assert np.array_equal(
+            np.asarray(he_planes.to_u64(g)), np.asarray(he_planes.to_u64(r))
+        )
+    sk = keys.gen_secret(CFG, rng=np.random.default_rng(1))
+    cjk = keys.gen_conjugation_key(sk, CFG, rng=np.random.default_rng(33))
+    oc = he_planes.conjugate(ct, he_planes.from_u64(cjk), CFG)
+    want = he_np.conjugate(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()), cjk, CFG
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(oc[0])), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(oc[1])), want.b)
+
+
 def test_batched_rotate_matches_per_ct(data):
     """Batch axis polymorphism: a (B, L, N) batch rotates identically to
     per-ciphertext calls (the TPU-native throughput story)."""

@@ -102,6 +102,30 @@ def test_fused_rotate_matches_he_np(monkeypatch, ks_kernel, ks_ntt):
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
 
 
+def test_fused_conjugate_matches_he_np(monkeypatch):
+    """Conjugation (Galois e = 2N-1) through the fused kernels — the
+    in-kernel automorphism constants at the negation exponent — is
+    bit-identical to the oracle."""
+    from aloha_tpu import he_np, he_planes, keys
+
+    monkeypatch.setenv("ALOHA_KS_KERNEL", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    rng = np.random.default_rng(19)
+    L, N = CFG.n_limbs, CFG.n
+    a = rng.integers(0, CFG.moduli[0], size=(L, N), dtype=np.uint64)
+    b = rng.integers(0, CFG.moduli[0], size=(L, N), dtype=np.uint64)
+    sk = keys.gen_secret(CFG, rng=np.random.default_rng(5))
+    cjk = keys.gen_conjugation_key(sk, CFG, rng=np.random.default_rng(6))
+    ct = (he_planes.from_u64(a), he_planes.from_u64(b))
+    oa, ob = he_planes.conjugate(ct, he_planes.from_u64(cjk), CFG)
+    want = he_np.conjugate(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()), cjk, CFG
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
+
+
 def test_fused_relin_rescale_matches_he_np(monkeypatch):
     """relinearize + rescale through the fused streaming launches are
     bit-identical to the NumPy oracle."""
