@@ -341,7 +341,10 @@ def _bench():
     # count), ~1-2 min vs ~6 min for the chained single-shot form.
     mxu_chain_done = False
     bm = int(os.environ.get("ALOHA_BENCH_BATCH3", "256"))
-    S = int(os.environ.get("ALOHA_BENCH_STREAMS", "6"))
+    # S=8 measured best in a stream-count sweep (784k/789k/792k/794k at
+    # S=4/6/8/10 in one window — deeper queues reclaim time-shared chip
+    # slices; flat beyond 8)
+    S = int(os.environ.get("ALOHA_BENCH_STREAMS", "8"))
     if impl == "stream" and not smoke and not os.environ.get(
         "ALOHA_BENCH_NO_MXU"
     ):
