@@ -129,3 +129,83 @@ def test_collective_count():
     ).lower(table, a_d)
     text = lowered.as_text()
     assert text.count("collective-permute") <= 3 + 1  # 3 exchanges (+1 slack)
+
+
+@requires_8dev
+def test_hoisted_rotation_batch_sharded(monkeypatch):
+    """Hoisted rotations compose with the mesh: dp-sharded ciphertext
+    batch, the shared head + per-step tails local to each device via
+    shard_map (interpret mode), word-exact vs the he_np oracle — the
+    production shape for encrypted-matvec serving (batch over dp,
+    hoisting within each chip)."""
+    import jax.numpy as jnp
+
+    from aloha_tpu import he_np, keys
+    from aloha_tpu.ops import ks_kernel
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "1")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    n = 1024
+    cfg = small_cfg(n)
+    L = cfg.n_limbs
+    B = 8
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, cfg.moduli[0], size=(B, L, n), dtype=np.uint64)
+    b = rng.integers(0, cfg.moduli[0], size=(B, L, n), dtype=np.uint64)
+    sk = keys.gen_secret(cfg, rng=np.random.default_rng(24))
+    steps = [1, 2]
+    exps = [pow(3, s, 2 * n) for s in steps]
+    ksks = [
+        keys.gen_rotation_key(sk, s, cfg, rng=np.random.default_rng(25 + s))
+        for s in steps
+    ]
+    kplanes = [
+        (
+            jnp.asarray((k & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((k >> np.uint64(32)).astype(np.uint32)),
+        )
+        for k in ksks
+    ]
+
+    def split(x):
+        return (
+            jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((x >> np.uint64(32)).astype(np.uint32)),
+        )
+
+    def local(alo, ahi, blo, bhi):
+        outs = ks_kernel.rotate_planes_hoisted(
+            (alo, ahi), (blo, bhi), exps, kplanes, cfg
+        )
+        return tuple(p for (pa, pb) in outs for pair in (pa, pb) for p in pair)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("dp",))
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("dp"),) * 4,
+            out_specs=(P("dp"),) * (4 * len(steps)),
+            check_vma=False,
+        )
+    )
+    flat = fn(*split(a), *split(b))
+    for si, s in enumerate(steps):
+        pa = flat[4 * si:4 * si + 2]
+        pb = flat[4 * si + 2:4 * si + 4]
+        got_a = (
+            np.asarray(pa[0]).astype(np.uint64)
+            | (np.asarray(pa[1]).astype(np.uint64) << np.uint64(32))
+        )
+        got_b = (
+            np.asarray(pb[0]).astype(np.uint64)
+            | (np.asarray(pb[1]).astype(np.uint64) << np.uint64(32))
+        )
+        for i in range(B):
+            want, = he_np.rotate_hoisted(
+                he_np.Ciphertext(a=a[i].copy(), b=b[i].copy()),
+                [s], [ksks[si]], cfg,
+            )
+            assert np.array_equal(got_a[i], want.a), (s, i)
+            assert np.array_equal(got_b[i], want.b), (s, i)
