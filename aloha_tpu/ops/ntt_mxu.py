@@ -667,9 +667,39 @@ def _mxu_call(alo, ahi, *, q, root, inverse):
         return call(*tables, alo, ahi)
 
 
+def _chain_setup(inverse, q, rows, bp, k, refs):
+    """Shared preamble of both chain bodies: stacked-ref table tuple,
+    lazy-mode read, resident stage closure, unroll clamp — ONE place so
+    the W-way body can never silently run a different protocol than the
+    1-way chain it must stay bit-identical to.
+
+    lazy chain (default on): iterations pass the _fold59 window
+    (W < 20q + 2^59, a valid u64) straight into the next digit split;
+    ONE canonicalizing fold+condsub runs after the loop instead of k of
+    them (ALOHA_MXU_CHAIN_LAZY=0 restores per-iteration folds).
+
+    Unroll: Mosaic in-kernel loops support unroll=1 or full only; a
+    manual partial unroll (U transforms per fori iteration) trades
+    compile time for cross-transform scheduling.  Default 1: the remote
+    kernel-compile service prices a U-times-bigger body at minutes
+    scale (a U=4 K=128 chain blew a 25-minute budget)."""
+    A1, T3, dwl, dwh, ds0, ds1, ds2, ds3, c1l, c1h, c3l, c3h = refs
+    tbls = (
+        A1, T3,
+        (dwl[:], dwh[:], ds0[:], ds1[:], ds2[:], ds3[:]),
+        (c1l[:], c1h[:]), (c3l[:], c3h[:]),
+    )
+    mk = _inv_stages if inverse else _fwd_stages
+    lazy = os.environ.get("ALOHA_MXU_CHAIN_LAZY", "1") != "0"
+    stages_r = mk(tbls, q, rows, bp, resident=True, lazy=lazy)
+    u = max(1, int(os.environ.get("ALOHA_MXU_CHAIN_UNROLL", "1")))
+    while k % u:
+        u //= 2
+    return stages_r, lazy, u
+
+
 def _chain_body(inverse, q, nchunks, bp, rows, k,
-                A1, T3, dwl, dwh, ds0, ds1, ds2, ds3, c1l, c1h, c3l, c3h,
-                xlo, xhi, olo, ohi):
+                *refs_io):
     """k data-dependent transforms fused in ONE launch: each chunk is
     DMA'd to VMEM once, iterated k times in the transpose-free resident
     (R, bp, LANES) layout, and written back once — the per-transform HBM
@@ -677,27 +707,8 @@ def _chain_body(inverse, q, nchunks, bp, rows, k,
     single-shot form disappear (cf. the reference keeping all 18
     keyswitch transforms SPM-resident, sim/vp/isram_file_generator/
     keyswitch.mem)."""
-    tbls = (
-        A1, T3,
-        (dwl[:], dwh[:], ds0[:], ds1[:], ds2[:], ds3[:]),
-        (c1l[:], c1h[:]), (c3l[:], c3h[:]),
-    )
-    mk = _inv_stages if inverse else _fwd_stages
-    # lazy chain (default on): iterations pass the _fold59 window
-    # (W < 20q + 2^59, a valid u64) straight into the next digit split;
-    # ONE canonicalizing fold+condsub runs after the loop instead of k
-    # of them.  ALOHA_MXU_CHAIN_LAZY=0 restores per-iteration folds.
-    lazy = os.environ.get("ALOHA_MXU_CHAIN_LAZY", "1") != "0"
-    stages_r = mk(tbls, q, rows, bp, resident=True, lazy=lazy)
-
-    # Mosaic in-kernel loops support unroll=1 or full only; a manual
-    # partial unroll (U transforms per fori iteration) trades compile
-    # time for cross-transform scheduling.  Default 1: the remote
-    # kernel-compile service prices a U-times-bigger body at minutes
-    # scale (a U=4 K=128 chain blew a 25-minute budget).
-    u = max(1, int(os.environ.get("ALOHA_MXU_CHAIN_UNROLL", "1")))
-    while k % u:
-        u //= 2
+    *refs, xlo, xhi, olo, ohi = refs_io
+    stages_r, lazy, u = _chain_setup(inverse, q, rows, bp, k, refs)
 
     def it(_, c):
         for _i in range(u):
@@ -729,9 +740,7 @@ def _chain_body(inverse, q, nchunks, bp, rows, k,
 
 
 def _chain_ways_body(inverse, q, nchunks, bp, rows, k, ways,
-                     A1, T3, dwl, dwh, ds0, ds1, ds2, ds3,
-                     c1l, c1h, c3l, c3h,
-                     xlo, xhi, olo, ohi):
+                     *refs_io):
     """W independent chunks' chains traced in LOCKSTEP.
 
     A single chunk's chain is strictly serial (each transform consumes
@@ -744,17 +753,8 @@ def _chain_ways_body(inverse, q, nchunks, bp, rows, k, ways,
     the matmuls and measured 1.5x WORSE.  DMA is negligible against a
     K-long chain (2 MB vs ~40 ms of compute), so the W buffers load
     and store without double buffering."""
-    tbls = (
-        A1, T3,
-        (dwl[:], dwh[:], ds0[:], ds1[:], ds2[:], ds3[:]),
-        (c1l[:], c1h[:]), (c3l[:], c3h[:]),
-    )
-    mk = _inv_stages if inverse else _fwd_stages
-    lazy = os.environ.get("ALOHA_MXU_CHAIN_LAZY", "1") != "0"
-    stages_r = mk(tbls, q, rows, bp, resident=True, lazy=lazy)
-    u = max(1, int(os.environ.get("ALOHA_MXU_CHAIN_UNROLL", "1")))
-    while k % u:
-        u //= 2
+    *refs, xlo, xhi, olo, ohi = refs_io
+    stages_r, lazy, u = _chain_setup(inverse, q, rows, bp, k, refs)
     W = ways
     ngroups = nchunks // W
 

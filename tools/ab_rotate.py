@@ -60,10 +60,14 @@ for mode, bp in VARIANTS:
         f = jax.jit(lambda x, y, K=K: chain(x, y, K))
         t0 = time.perf_counter()
         r = f(pa, pb)
-        out = np.asarray(r[0][0])
+        # compare EVERY output leaf (a+b parts, lo+hi planes) — a
+        # variant corrupting only hi words or only b_rot must not pass
+        out = [np.asarray(t) for t in jax.tree_util.tree_leaves(r)]
         stamp(f"{mode}:{bp} K={K}: compiled+ran {time.perf_counter()-t0:.1f}s")
         if K in ref:
-            assert np.array_equal(out, ref[K]), f"{mode}:{bp} K={K} mismatch"
+            assert len(out) == len(ref[K]) and all(
+                np.array_equal(o, w) for o, w in zip(out, ref[K])
+            ), f"{mode}:{bp} K={K} mismatch"
         else:
             ref[K] = out
         fns[(mode, bp, K)] = f

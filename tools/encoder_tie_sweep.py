@@ -63,7 +63,7 @@ def main():
     print("best by fitted objective:   shift=%s prod=%s (%d bad)" % (
         by_fit[0][0], by_fit[0][1], by_fit[0][2]))
     print("best by unfitted objective: shift=%s prod=%s (%d bad)" % (
-        by_raw[0][0], by_raw[0][1], by_raw[0][2]))
+        by_raw[0][0], by_raw[0][1], by_raw[0][4]))
     ee_fit = next(r for r in results if r[0] == r[1] == "even")
     print(
         f"tie-to-even (shipped): {ee_fit[2]} bad fitted "
