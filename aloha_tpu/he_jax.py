@@ -67,6 +67,12 @@ def hom_add(ct1, ct2, cfg: HEConfig = DEFAULT_CONFIG):
     )
 
 
+def add_plain(ct, pt, cfg: HEConfig = DEFAULT_CONFIG):
+    """ct + pt into the message part (he_np.add_plain semantics)."""
+    moduli = cfg.moduli[: cfg.n_limbs]
+    return (_per_limb(r.addmod, ct[0], pt, moduli), ct[1])
+
+
 def mul_plain(ct, pt, cfg: HEConfig = DEFAULT_CONFIG):
     """(a*pt, b*pt) limb-wise pointwise (NTT domain)."""
     moduli = cfg.moduli[: cfg.n_limbs]

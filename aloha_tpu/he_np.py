@@ -77,6 +77,19 @@ def hom_sub(ct1: Ciphertext, ct2: Ciphertext, cfg: HEConfig = DEFAULT_CONFIG) ->
     return Ciphertext(a=a, b=b)
 
 
+def add_plain(ct: Ciphertext, pt: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG) -> Ciphertext:
+    """ct + pt: the plaintext (NTT domain, same scale) adds into the
+    message part only (decrypt = a + b*s here, so the a-part).
+
+    (reference ISA: vfqadd.vv exists; no canned program — API
+    completeness for the standard CKKS op set.)"""
+    pt = rns.to_u64(pt)
+    a = np.stack(
+        [rns.addmod(ct.a[i], pt[i], cfg.moduli[i]) for i in range(len(ct.a))]
+    )
+    return Ciphertext(a=a, b=ct.b.copy())
+
+
 def mul_plain(ct: Ciphertext, pt: np.ndarray, cfg: HEConfig = DEFAULT_CONFIG) -> Ciphertext:
     """ct x pt: limb-wise pointwise modular multiply (both in NTT domain).
 

@@ -75,6 +75,17 @@ def test_hom_sub(data):
     assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
 
 
+def test_add_plain(data):
+    a, b, pt, _ = data
+    ct = (he_planes.from_u64(a), he_planes.from_u64(b))
+    out = he_planes.add_plain(ct, he_planes.from_u64(pt), CFG)
+    want = he_np.add_plain(
+        he_np.Ciphertext(a=a.copy(), b=b.copy()), pt, CFG
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[0])), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
+
+
 def test_galois_and_conjugate(data):
     """galois at 3^step == rotate word-exact; conjugate (e = 2N-1)
     matches the he_np oracle (plane-surface parity with he_np's round-3

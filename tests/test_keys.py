@@ -177,6 +177,17 @@ def test_ct_mul_rescale(sk):
     assert np.abs(got - z1 * z2).max() < 0.15
 
 
+def test_add_plain_slots(sk):
+    z1 = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
+    z2 = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
+    ct = keys.encrypt(_encode_signed(z1), sk, CFG, np.random.default_rng(42))
+    pt = he.encode_post(
+        encoder.encode(encoder.cleartext_from_slots(z2), CFG), CFG
+    )
+    got = _slots(he.add_plain(ct, pt, CFG), sk)
+    assert np.abs(got - (z1 + z2)).max() < 1e-4
+
+
 def test_hom_sub_slots(sk):
     z1 = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
     z2 = RNG.uniform(-1, 1, size=S) + 1j * RNG.uniform(-1, 1, size=S)
