@@ -14,7 +14,10 @@ would need minutes-long chains to rise above tunnel-dispatch variance,
 but the dispatch constant is identical across arms, so the paired
 difference is pure device win.
 
-Env: B (batch, default 128), K (steps, default 12), TRIALS (default 6).
+Env: B (batch, default 128), K (steps, default 12), TRIALS (default 6),
+ARMS (comma list of hoisted,plain — run a subset to save compile time;
+two runs at different K give the hoisted arm's K-slope = the tail-only
+per-step asymptote, the head having amortized out).
 """
 import os
 import time
@@ -74,12 +77,16 @@ null = jax.jit(lambda ct: scalar0(ct) + jnp.uint32(1))
 
 t_null = run(null)
 print(f"B={B} K={K}: null dispatch+readback {t_null*1e3:.1f} ms")
+arms = os.environ.get("ARMS", "hoisted,plain").split(",")
 res = {}
 for name, fn in (("hoisted", hoisted), ("plain", plain)):
+    if name not in arms:
+        continue
     t = run(fn)
     per = (t - t_null) / (K * B)
     res[name] = per
     print(f"{name:8s}: {t*1e3:7.1f} ms total -> {per*1e6:6.1f} us/rotation "
           f"device = {1/per:,.0f} rot/s/chip")
-print(f"hoisting speedup (device per-rotation): "
-      f"{res['plain']/res['hoisted']:.2f}x")
+if len(res) == 2:
+    print(f"hoisting speedup (device per-rotation): "
+          f"{res['plain']/res['hoisted']:.2f}x")
