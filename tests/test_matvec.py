@@ -66,6 +66,19 @@ def test_oracle_matvec(material):
     assert err < 0.15, err  # rescale-path envelope (see test_keys)
 
 
+def test_oracle_matvec_uneven_groups(material):
+    """D not divisible by g: the last giant group is short (the k >= D
+    break path)."""
+    sk, z, ct, dvecs, diags, ksb, ksg = material
+    D3 = 3  # g=2, b=2, last group holds one diagonal
+    want = sum(
+        np.asarray(d) * np.roll(z, -k) for k, d in enumerate(dvecs[:D3])
+    )
+    out = he_np.matvec_bsgs(ct, diags[:D3], ksb, ksg, CFG, g=G)
+    err = np.abs(_slots_rescaled(out, sk) - want).max()
+    assert err < 0.15, err
+
+
 def test_pt_rotate_matches_ct_semantics(material):
     """pt_rotate(encode(z), r) decodes to roll(z, -r) — the free public
     counterpart of the keyed ciphertext rotation."""
