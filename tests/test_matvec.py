@@ -113,3 +113,29 @@ def test_planes_match_oracle(monkeypatch, material):
     )
     assert np.array_equal(np.asarray(he_planes.to_u64(out[0])), want.a)
     assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
+
+
+def test_planes_matvec_jits_as_one_program(monkeypatch, material):
+    """The serving shape: the whole BSGS matvec (hoisted head + tails +
+    giant rotation + accumulation) traces into ONE jitted program with
+    the keys closed over concretely."""
+    pytest.importorskip("jax.experimental.pallas")
+    import jax
+
+    from aloha_tpu import he_planes
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    _, _, ct, _, diags, ksb, ksg = material
+    want = he_np.matvec_bsgs(ct, diags, ksb, ksg, CFG, g=G)
+    dp = [he_planes.from_u64(d) for d in diags]
+    kb = [he_planes.from_u64(k) for k in ksb]
+    kg = [he_planes.from_u64(k) for k in ksg]
+
+    fn = jax.jit(
+        lambda a, b: he_planes.matvec_bsgs((a, b), dp, kb, kg, CFG, g=G)
+    )
+    out = fn(he_planes.from_u64(ct.a), he_planes.from_u64(ct.b))
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[0])), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
