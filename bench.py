@@ -26,12 +26,16 @@ def main():
     # under a hard timeout, falling back to the XLA path so this script
     # ALWAYS prints its metric line.
     if "--child" not in sys.argv and not os.environ.get("ALOHA_BENCH_NO_FORK"):
-        # budget covers tier 1 (~1.5 min) + the MXU chain tier's cold
-        # compile; the remote compile service has epochs where ONE cold
-        # kernel compile takes ~26 min (measured round 4), so the budget
-        # is generous — warm /tmp/jax_cache runs take ~2-3 min total and
-        # per-tier metric lines are salvaged on timeout either way.
-        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "3300"))
+        # budget covers tier 1 (~1.5 min) + the MXU chain tier's compile
+        # (warm /tmp/jax_cache runs take ~2-3 min total).  Round 4's
+        # lesson: 3300 s exceeded the driver's own outer timeout and the
+        # buffered parent salvaged NOTHING (BENCH_r04 rc=124, tail "").
+        # The default is back to round 3's proven 1500 s envelope; cold
+        # remote-compile epochs (~26 min for one kernel, measured r4)
+        # need the opt-in env raise.  Either way the parent now TEES
+        # child metric lines to stdout the moment they appear, so any
+        # outer kill still leaves the best-so-far line printed.
+        budget = int(os.environ.get("ALOHA_BENCH_PALLAS_TIMEOUT", "1500"))
         # the child hunts tunnel-epoch windows with whatever budget is
         # left after its tiers finish (see _hunt); tell it the deadline
         deadline = time.time() + budget - 90
@@ -39,7 +43,7 @@ def main():
             {"ALOHA_BENCH_DEADLINE": str(deadline)}, budget
         )
         if line:
-            print(line)
+            # already teed to stdout as it appeared; nothing to reprint
             return 0
         # The kernel child produced nothing — remote-compile wedge, or the
         # TPU tunnel itself is down (backend init hangs, then fails
@@ -53,7 +57,6 @@ def main():
             int(os.environ.get("ALOHA_BENCH_FALLBACK_BUDGET", "600")),
         )
         if line:
-            print(line)
             return 0
         print("# device unreachable; CPU-host fallback", file=sys.stderr)
         return _bench_cpu_fallback()
@@ -61,17 +64,25 @@ def main():
 
 
 def _run_child(env_extra: dict, budget: int):
-    """Run _bench() in a killable subprocess; return its last metric line.
+    """Run _bench() in a killable subprocess, TEEING its metric lines to
+    our stdout the moment they appear; return the last metric line seen.
 
     Child stdout goes to a FILE, not a pipe: the remote-compile plugin
     spawns helper grandchildren that inherit (and hold open) a pipe,
-    which deadlocks subprocess.run's timeout reaping.  On timeout,
-    SIGKILL the child's whole process group and read the file — the
-    per-tier metric lines printed so far are salvaged."""
+    which deadlocks subprocess.run's timeout reaping.  The child's fd is
+    a dup of ours (shared file offset), so the parent polls with
+    os.pread — reads that never move the shared offset.  Every complete
+    line starting with "{" is re-printed immediately: if the DRIVER's
+    outer timeout kills this parent (round 4: rc=124, tail empty), the
+    best-so-far line is already on stdout.  A SIGTERM (what `timeout`
+    sends first) is caught: kill the child's process group, drain once
+    more, exit 0 with the salvaged lines printed."""
     import signal
     import tempfile
 
-    with tempfile.TemporaryFile(mode="w+") as fout:
+    state = {"best": None, "off": 0, "buf": b""}
+
+    with tempfile.TemporaryFile(mode="w+b") as fout:
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child"],
             stdout=fout,
@@ -79,23 +90,55 @@ def _run_child(env_extra: dict, budget: int):
             env={**os.environ, "ALOHA_BENCH_NO_FORK": "1", **env_extra},
             start_new_session=True,
         )
-        try:
-            proc.wait(timeout=budget)
-        except subprocess.TimeoutExpired:
-            print("# bench child timed out; salvaging output",
-                  file=sys.stderr)
+        fd = fout.fileno()
+
+        def _drain():
+            while True:
+                try:
+                    chunk = os.pread(fd, 1 << 20, state["off"])
+                except OSError:
+                    return
+                if not chunk:
+                    return
+                state["off"] += len(chunk)
+                state["buf"] += chunk
+                lines = state["buf"].split(b"\n")
+                state["buf"] = lines.pop()
+                for raw in lines:
+                    line = raw.decode("utf-8", errors="replace")
+                    if line.startswith("{"):
+                        state["best"] = line
+                        print(line, flush=True)
+
+        def _kill_child():
             try:
                 os.killpg(proc.pid, signal.SIGKILL)
             except OSError:
                 pass
+
+        def _on_term(signum, frame):
+            print("# bench parent got SIGTERM; salvaging", file=sys.stderr)
+            _kill_child()
             proc.wait()
-        fout.seek(0)
-        stdout = fout.read()
-    best_line = None
-    for line in stdout.splitlines():
-        if line.startswith("{"):
-            best_line = line
-    return best_line
+            _drain()
+            sys.stdout.flush()
+            os._exit(0 if state["best"] else 1)
+
+        prev = signal.signal(signal.SIGTERM, _on_term)
+        try:
+            deadline = time.time() + budget
+            while proc.poll() is None and time.time() < deadline:
+                time.sleep(2)
+                _drain()
+            if proc.poll() is None:
+                print("# bench child timed out; salvaging output",
+                      file=sys.stderr)
+                _kill_child()
+                proc.wait()
+            _drain()
+        finally:
+            signal.signal(signal.SIGTERM, prev)
+    return state["best"]
 
 
 def _bench_cpu_fallback():
@@ -343,6 +386,7 @@ def _bench():
     # stacked readback.  Compile cost is K-independent (fori trip
     # count), ~1-2 min vs ~6 min for the chained single-shot form.
     mxu_chain_done = False
+    xm = None
     bm = int(os.environ.get("ALOHA_BENCH_BATCH3", "256"))
     # S=8 measured best in a stream-count sweep (784k/789k/792k/794k at
     # S=4/6/8/10 in one window — deeper queues reclaim time-shared chip
@@ -354,7 +398,7 @@ def _bench():
         os.environ["ALOHA_STREAM_BP"] = os.environ.get(
             "ALOHA_BENCH_MXU_BP", "32"
         )
-        xm = xs = None
+        xs = None
         try:
             # inside the try: this dispatch rides the same flaky tunnel
             # as the tier body — a failure here must fall through to the
@@ -411,6 +455,13 @@ def _bench():
             from aloha_tpu.ops import ntt_mxu as _nm
 
             km = int(os.environ.get("ALOHA_BENCH_ITERS3", "192"))
+            if xm is None:
+                # the chain tier failed before slicing its input — this
+                # tier is precisely the fallback for that case, so it
+                # must build its own (advisor r4)
+                xm = jax.block_until_ready(
+                    jax.jit(lambda v: jax.tree.map(lambda t: t[:bm], v))(xr)
+                )
 
             def fnm(p):
                 return _nm.ntt_planes(*p, q, psi)
