@@ -316,6 +316,9 @@ def rotate_hoisted(
     key-switch keys (the SAME keys rotate() uses).  Returns a list of
     Ciphertexts aligned with steps.
     """
+    assert len(steps) == len(ksks), (
+        f"{len(steps)} steps but {len(ksks)} key-switch keys"
+    )
     n = ct.a.shape[-1]
     moduli = cfg.moduli
     n_limbs = cfg.n_limbs
@@ -377,6 +380,12 @@ def matvec_bsgs(
     if g is None:
         g = max(1, int(np.ceil(np.sqrt(D))))
     b = (D + g - 1) // g
+    assert len(ksks_baby) >= g - 1, (
+        f"need {g - 1} baby keys, got {len(ksks_baby)}"
+    )
+    assert len(ksks_giant) >= b - 1, (
+        f"need {b - 1} giant keys, got {len(ksks_giant)}"
+    )
 
     baby_steps = list(range(1, g))
     babies = [ct] + (
@@ -395,7 +404,13 @@ def matvec_bsgs(
             t = mul_plain(babies[j], d, cfg)
             inner = t if inner is None else hom_add(inner, t, cfg)
         if i:
-            inner = rotate(inner, g * i, ksks_giant[i - 1], cfg)
+            # hoisted digit lift (aut after raise) even for the single
+            # giant step: keeps this oracle word-identical to the plane
+            # path's batched 2-launch giant rotations (he_planes
+            # rotate_batch / ks_kernel.rotate_planes_batch)
+            inner, = rotate_hoisted(
+                inner, [g * i], [ksks_giant[i - 1]], cfg
+            )
         acc = inner if acc is None else hom_add(acc, inner, cfg)
     return acc
 

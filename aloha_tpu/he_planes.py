@@ -409,6 +409,9 @@ def rotate_hoisted(ct, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
     per rotation at large len(steps).  The non-kernel fallback performs
     plain per-step rotations (functionally identical at decrypt level,
     no hoisting speedup)."""
+    assert len(steps) == len(ksks), (
+        f"{len(steps)} steps but {len(ksks)} key-switch keys"
+    )
     a, b = ct
     n = a[0].shape[-1]
     exps = [pow(3, s, 2 * n) for s in steps]
@@ -417,6 +420,28 @@ def rotate_hoisted(ct, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
 
         return ks_kernel.rotate_planes_hoisted(a, b, exps, ksks, cfg)
     return [rotate(ct, s, k, cfg) for s, k in zip(steps, ksks)]
+
+
+def rotate_batch(cts, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
+    """Rotate K DIFFERENT ciphertexts (each by its own step) in TWO
+    kernel launches total: one aut-free head over the stacked b-parts,
+    one batched tail with per-block KSKs (ks_kernel.rotate_planes_batch;
+    the BSGS giant-step shape).  Word-exact against
+    he_np.rotate_hoisted(ct_k, [step_k], [ksk_k]); decrypt-identical to
+    per-ct rotate().  The non-kernel fallback pays K plain rotations
+    (decrypt-identical, different digit-lift words)."""
+    assert len(cts) == len(steps) == len(ksks), (
+        f"{len(cts)} cts, {len(steps)} steps, {len(ksks)} keys"
+    )
+    if not cts:
+        return []
+    n = cts[0][0][0].shape[-1]
+    exps = [pow(3, s, 2 * n) for s in steps]
+    if _use_stream() and os.environ.get("ALOHA_KS_KERNEL", "1") != "0":
+        from aloha_tpu.ops import ks_kernel
+
+        return ks_kernel.rotate_planes_batch(cts, exps, ksks, cfg)
+    return [rotate(c, s, k, cfg) for c, s, k in zip(cts, steps, ksks)]
 
 
 def pt_rotate(pt, r: int, cfg: HEConfig = DEFAULT_CONFIG):
@@ -451,6 +476,12 @@ def matvec_bsgs(
     if g is None:
         g = max(1, int(np.ceil(np.sqrt(D))))
     b = (D + g - 1) // g
+    assert len(ksks_baby) >= g - 1, (
+        f"need {g - 1} baby keys, got {len(ksks_baby)}"
+    )
+    assert len(ksks_giant) >= b - 1, (
+        f"need {b - 1} giant keys, got {len(ksks_giant)}"
+    )
 
     baby_steps = list(range(1, g))
     babies = [ct] + (
@@ -458,7 +489,10 @@ def matvec_bsgs(
         if baby_steps else []
     )
 
-    acc = None
+    # the inner sums first, then ALL b-1 giant rotations as one batched
+    # 2-launch rotate (they are distinct ciphertexts with distinct
+    # steps — exactly the rotate_batch shape)
+    inners = []
     for i in range(b):
         inner = None
         for j in range(g):
@@ -467,9 +501,14 @@ def matvec_bsgs(
                 break
             t = mul_plain(babies[j], pt_rotate(diags[k], -g * i, cfg), cfg)
             inner = t if inner is None else hom_add(inner, t, cfg)
-        if i:
-            inner = rotate(inner, g * i, ksks_giant[i - 1], cfg)
-        acc = inner if acc is None else hom_add(acc, inner, cfg)
+        inners.append(inner)
+    rotated = rotate_batch(
+        inners[1:], [g * i for i in range(1, b)],
+        ksks_giant[: b - 1], cfg,
+    )
+    acc = inners[0]
+    for r in rotated:
+        acc = hom_add(acc, r, cfg)
     return acc
 
 

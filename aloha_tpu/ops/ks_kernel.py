@@ -271,12 +271,14 @@ def _tail_body(
             if shoup:
                 acc = (None, None)
                 for j in range(L):
+                    # leading axis: the step-block (size 1) the grid's
+                    # index map selected — this chunk's own key
                     p = stride * m + 2 * j + part
                     t = ns._shoup_mul_limb(
                         glo[:, j], ghi[:, j],
-                        klo[p][None], khi[p][None],
-                        ks0[p][None], ks1[p][None],
-                        ks2[p][None], ks3[p][None],
+                        klo[0, p][None], khi[0, p][None],
+                        ks0[0, p][None], ks1[0, p][None],
+                        ks2[0, p][None], ks3[0, p][None],
                         q,
                     )
                     acc = t if j == 0 else r32.add64(*acc, *t)
@@ -284,15 +286,15 @@ def _tail_body(
             else:
                 acc = r32.mulmod64(
                     glo[:, 0], ghi[:, 0],
-                    klo[stride * m + part][None],
-                    khi[stride * m + part][None],
+                    klo[0, stride * m + part][None],
+                    khi[0, stride * m + part][None],
                     q,
                 )
                 for j in range(1, L):
                     t = r32.mulmod64(
                         glo[:, j], ghi[:, j],
-                        klo[stride * m + 2 * j + part][None],
-                        khi[stride * m + 2 * j + part][None],
+                        klo[0, stride * m + 2 * j + part][None],
+                        khi[0, stride * m + 2 * j + part][None],
                         q,
                     )
                     acc = r32.addmod64(*acc, *t, q)
@@ -515,11 +517,25 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
     """Raised digit planes + NTT-domain riders + KSK -> rotated
     ciphertext planes (L, nb, 2, rows, LANES): [:, :, 0] = a_rot,
     [:, :, 1] = b_rot.  kshoup: optional (s0, s1, s2, s3) 16-bit limb
-    planes of the key's Shoup constants (see prepare_ksk)."""
+    planes of the key's Shoup constants (see prepare_ksk).
+
+    BATCHED-KEY form: klo/khi (and each kshoup plane) may carry a
+    leading step axis (K, 2L(L+1), rows, LANES) with the nb axis laid
+    out step-major as K blocks of nb/K ciphertexts each — K rotations
+    by DIFFERENT keys run in this ONE launch, the grid's index map
+    selecting each chunk's key block (c // nchunks_per_step).  Rank-3
+    keys mean K=1 (the classic single-key tail)."""
     L = cfg.n_limbs
     nb = nlo.shape[1]
     rows = cfg.n // LANES
-    bp = _chunk(nb)
+    if klo.ndim == 3:
+        klo, khi = klo[None], khi[None]
+        if kshoup is not None:
+            kshoup = tuple(s[None] for s in kshoup)
+    K = klo.shape[0]
+    assert nb % K == 0, (nb, K)
+    bp = _chunk(nb // K)
+    nchunks = (nb // K) // bp
     mode = _ks_ntt_mode(cfg)
     itbl, ftbl = _tail_tables(cfg, mode)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl)]
@@ -528,13 +544,16 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
         _tail_body, cfg, bp, rows, mode, len(itbl), len(ftbl), nks
     )
     full = lambda s: pl.BlockSpec(s, lambda c: (0,) * len(s))  # noqa: E731
+    kspec = pl.BlockSpec(
+        (1,) + klo.shape[1:], lambda c: (c // nchunks, 0, 0, 0)
+    )
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
             grid=(nb // bp,),
             in_specs=(
                 [full(t.shape) for t in consts]
-                + [full(klo.shape)] * (2 + nks)
+                + [kspec] * (2 + nks)
                 + [
                     pl.BlockSpec(
                         (L + 1, bp, L, rows, LANES),
@@ -567,7 +586,13 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
         )
 
 
-_KSK_CACHE: dict = {}
+import collections
+
+_KSK_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+# enough for a full BSGS key set (g-1 baby + b-1 giant keys, default
+# bench K=12) plus headroom; evicts oldest-first instead of wholesale
+# (advisor r4: a >8-key workload thrashed the old clear-all cache)
+_KSK_CACHE_CAP = int(os.environ.get("ALOHA_KSK_CACHE_CAP", "64"))
 
 
 def prepare_ksk(ksk, cfg: HEConfig):
@@ -583,6 +608,7 @@ def prepare_ksk(ksk, cfg: HEConfig):
     ck = (id(klo), id(khi))
     hit = _KSK_CACHE.get(ck)
     if hit is not None and hit[0] is klo and hit[1] is khi:
+        _KSK_CACHE.move_to_end(ck)
         return hit[2]
     L = cfg.n_limbs
     rows = cfg.n // LANES
@@ -614,8 +640,8 @@ def prepare_ksk(ksk, cfg: HEConfig):
             jnp.asarray(np.asarray(khi).reshape(-1, rows, LANES)),
             *(jnp.asarray(v) for v in limbs),
         )
-    if len(_KSK_CACHE) >= 8:
-        _KSK_CACHE.clear()
+    while len(_KSK_CACHE) >= _KSK_CACHE_CAP:
+        _KSK_CACHE.popitem(last=False)
     _KSK_CACHE[ck] = (klo, khi, out)
     return out
 
@@ -674,9 +700,38 @@ def rotate_planes(a, b, step_exp: int, ksk, cfg: HEConfig):
     return a_rot, b_rot
 
 
+def _stacked_keys(ksks, cfg: HEConfig):
+    """Stack K keys into the batched-tail layout: (klo, khi) of
+    (K, 2L(L+1), rows, LANES) plus the Shoup limb-plane stack (or None
+    when any key is a jit tracer — no host-side preparation possible)."""
+    L = cfg.n_limbs
+    rows = cfg.n // LANES
+    traced = any(
+        isinstance(k[0], jax.core.Tracer) or isinstance(k[1], jax.core.Tracer)
+        for k in ksks
+    )
+    if traced:
+        klo = jnp.stack(
+            [k[0].reshape(2 * L * (L + 1), rows, LANES) for k in ksks]
+        )
+        khi = jnp.stack(
+            [k[1].reshape(2 * L * (L + 1), rows, LANES) for k in ksks]
+        )
+        return klo, khi, None, traced
+    preps = [prepare_ksk(k, cfg) for k in ksks]
+    klo = jnp.stack([p[0] for p in preps])
+    khi = jnp.stack([p[1] for p in preps])
+    kshoup = tuple(
+        jnp.stack([p[2 + i] for p in preps]) for i in range(4)
+    )
+    return klo, khi, kshoup, traced
+
+
 def rotate_planes_hoisted(a, b, step_exps, ksks, cfg: HEConfig):
     """Hoisted rotations (Halevi-Shoup): ONE aut-free head shared by
-    every step, then per step an NTT-domain gather + the tail kernel.
+    every step, then ONE batched tail launch covering all K steps (each
+    chunk's KSK selected by the grid index map) — 2 kernel launches
+    total regardless of K, vs round 4's 1 + K.
 
     a, b: (lo, hi) planes (..., L, N) of the ciphertext being rotated;
     step_exps: Galois exponents (3^step mod 2N); ksks: matching list of
@@ -690,7 +745,12 @@ def rotate_planes_hoisted(a, b, step_exps, ksks, cfg: HEConfig):
     L(L+1)+L forward NTTs (8 of the rotation's 14 transforms) amortize
     over all steps.  Outputs decrypt identically to rotate_planes but
     are not word-equal to it (different digit lift representatives);
-    word-exact against the he_np.rotate_hoisted oracle."""
+    word-exact against the he_np.rotate_hoisted oracle.  The per-step
+    NTT-domain automorphisms run as ONE stacked gather ((K, n)
+    permutation table) feeding the step-major batch axis."""
+    assert len(step_exps) == len(ksks), (
+        f"{len(step_exps)} steps but {len(ksks)} key-switch keys"
+    )
     L = cfg.n_limbs
     rows = cfg.n // LANES
     alo, ahi = a
@@ -698,55 +758,122 @@ def rotate_planes_hoisted(a, b, step_exps, ksks, cfg: HEConfig):
     batch = alo.shape[:-2]
     nb = int(np.prod(batch)) if batch else 1
     n = cfg.n
+    K = len(step_exps)
 
     def pack(lo):
         t = lo.reshape(nb, L, rows, LANES)
         return jnp.moveaxis(t, 1, 0)
 
-    traced = any(
-        isinstance(k[0], jax.core.Tracer) or isinstance(k[1], jax.core.Tracer)
-        for k in ksks
-    )
+    klo, khi, kshoup, traced = _stacked_keys(ksks, cfg)
     nlo, nhi = ks_head(
         pack(blo), pack(bhi), None, cfg, lazy_out=not traced
     )
 
-    def gather(t, e):
-        # (..., rows, LANES) planes: automorphism over the flattened
-        # coefficient axis (lazy representatives permute like values)
-        shp = t.shape
-        return ntt_domain_aut(
-            t.reshape(shp[:-2] + (n,)), e, n
-        ).reshape(shp)
+    perms = jnp.asarray(
+        np.stack([_ntt_aut_perm_np(n, e) for e in step_exps])
+    )  # (K, n)
 
-    def unpack(t, part):
-        u = jnp.moveaxis(t[:, :, part], 0, 1)
+    def gatherK(t):
+        # (A, nb, B, rows, LANES) -> (A, K*nb, B, rows, LANES),
+        # step-major: all K gathers in one take
+        shp = t.shape
+        flat = t.reshape(shp[:-2] + (n,))
+        g = jnp.take(flat, perms, axis=-1)  # (..., K, n)
+        g = jnp.moveaxis(g, -2, 1)          # (A, K, nb, B, n)
+        return g.reshape((shp[0], K * shp[1]) + shp[2:])
+
+    def riderK(t):
+        # (..., L, n) a-part -> (L, K*nb, rows, LANES) step-major
+        g = jnp.take(t, perms, axis=-1)     # batch + (L, K, n)
+        g = jnp.moveaxis(g, -2, 0)          # (K,) + batch + (L, n)
+        t2 = g.reshape(K * nb, L, rows, LANES)
+        return jnp.moveaxis(t2, 1, 0)
+
+    olo, ohi = ks_tail(
+        gatherK(nlo), gatherK(nhi), riderK(alo), riderK(ahi),
+        klo, khi, cfg, kshoup=kshoup,
+    )
+
+    def unpack(t, k, part):
+        u = jnp.moveaxis(t[:, k * nb:(k + 1) * nb, part], 0, 1)
         return u.reshape(batch + (L, cfg.n))
 
-    outs = []
-    for e, ksk in zip(step_exps, ksks):
-        glo = gather(nlo, e)
-        ghi = gather(nhi, e)
-        rlo = pack(ntt_domain_aut(alo, e, n))
-        rhi = pack(ntt_domain_aut(ahi, e, n))
-        klo, khi = ksk
-        if isinstance(klo, jax.core.Tracer) or isinstance(
-            khi, jax.core.Tracer
-        ):
-            kplanes = (
-                klo.reshape(2 * L * (L + 1), rows, LANES),
-                khi.reshape(2 * L * (L + 1), rows, LANES),
-            )
-            kshoup = None
-        else:
-            klo2, khi2, *kshoup = prepare_ksk(ksk, cfg)
-            kplanes = (klo2, khi2)
-            kshoup = tuple(kshoup)
-        olo, ohi = ks_tail(
-            glo, ghi, rlo, rhi, *kplanes, cfg, kshoup=kshoup
-        )
-        outs.append(
-            ((unpack(olo, 0), unpack(ohi, 0)),
-             (unpack(olo, 1), unpack(ohi, 1)))
-        )
-    return outs
+    return [
+        ((unpack(olo, k, 0), unpack(ohi, k, 0)),
+         (unpack(olo, k, 1), unpack(ohi, k, 1)))
+        for k in range(K)
+    ]
+
+
+def rotate_planes_batch(cts, step_exps, ksks, cfg: HEConfig):
+    """Rotate K DIFFERENT ciphertexts by (generally different) steps in
+    TWO launches total: the K b-parts stack on the batch axis through
+    one aut-free head, each block then takes its own NTT-domain gather
+    and its own KSK in one batched tail (the BSGS giant-step shape:
+    b-1 distinct partial sums each needing one rotation; reference
+    analogue: K separate 122-instruction keyswitch program runs,
+    sim/vp/isram_file_generator/keyswitch.mem).
+
+    cts: list of K ((alo, ahi), (blo, bhi)) plane ciphertexts with
+    identical batch shape; step_exps/ksks: per-ct Galois exponent and
+    key.  Returns a list of (a_rot, b_rot) aligned with cts.  Uses the
+    hoisted digit lift (aut after raise), so outputs are word-exact
+    against he_np.rotate_hoisted(ct_k, [step_k], [ksk_k]) and decrypt
+    identically to rotate_planes."""
+    assert len(cts) == len(step_exps) == len(ksks), (
+        f"{len(cts)} cts, {len(step_exps)} steps, {len(ksks)} keys"
+    )
+    L = cfg.n_limbs
+    rows = cfg.n // LANES
+    n = cfg.n
+    K = len(cts)
+    batch = cts[0][0][0].shape[:-2]
+    nb = int(np.prod(batch)) if batch else 1
+
+    def packK(parts):
+        # K x (..., L, n) -> (L, K*nb, rows, LANES) step-major
+        t = jnp.stack([p.reshape(nb, L, rows, LANES) for p in parts])
+        return jnp.moveaxis(t.reshape(K * nb, L, rows, LANES), 1, 0)
+
+    klo, khi, kshoup, traced = _stacked_keys(ksks, cfg)
+    nlo, nhi = ks_head(
+        packK([ct[1][0] for ct in cts]),
+        packK([ct[1][1] for ct in cts]),
+        None, cfg, lazy_out=not traced,
+    )
+
+    perms = jnp.asarray(
+        np.stack([_ntt_aut_perm_np(n, e) for e in step_exps])
+    )  # (K, n)
+
+    def gather_blocks(t):
+        # (A, K*nb, B, rows, LANES): block k gathered by ITS OWN perm
+        shp = t.shape
+        flat = t.reshape((shp[0], K, nb) + shp[2:-2] + (n,))
+        idx = perms.reshape((1, K, 1) + (1,) * (len(shp) - 4) + (n,))
+        g = jnp.take_along_axis(flat, idx, axis=-1)
+        return g.reshape(shp)
+
+    def rider_blocks(parts):
+        # K x (..., L, n) a-parts, each gathered by its own perm
+        t = jnp.stack([p.reshape(nb, L, n) for p in parts])  # (K,nb,L,n)
+        g = jnp.take_along_axis(t, perms[:, None, None, :], axis=-1)
+        t2 = g.reshape(K * nb, L, rows, LANES)
+        return jnp.moveaxis(t2, 1, 0)
+
+    olo, ohi = ks_tail(
+        gather_blocks(nlo), gather_blocks(nhi),
+        rider_blocks([ct[0][0] for ct in cts]),
+        rider_blocks([ct[0][1] for ct in cts]),
+        klo, khi, cfg, kshoup=kshoup,
+    )
+
+    def unpack(t, k, part):
+        u = jnp.moveaxis(t[:, k * nb:(k + 1) * nb, part], 0, 1)
+        return u.reshape(batch + (L, cfg.n))
+
+    return [
+        ((unpack(olo, k, 0), unpack(ohi, k, 0)),
+         (unpack(olo, k, 1), unpack(ohi, k, 1)))
+        for k in range(K)
+    ]

@@ -195,6 +195,41 @@ def test_kernel_hoisted_three_limbs_small_ring(monkeypatch, ks_ntt):
         assert np.array_equal(np.asarray(he_planes.to_u64(ob)), w.b), s
 
 
+def test_rotate_batch_distinct_cts(monkeypatch, material):
+    """rotate_batch: K DIFFERENT ciphertexts, each with its own step and
+    key, in one aut-free head + one batched tail (per-chunk KSK selected
+    by the grid index map).  Word-exact against the single-step hoisted
+    oracle applied per ciphertext — the BSGS giant-step shape."""
+    pytest.importorskip("jax.experimental.pallas")
+    from aloha_tpu import he_planes
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    _, _, ct, ksks = material
+    # distinct ciphertexts: ct and a shifted variant of it
+    rng = np.random.default_rng(77)
+    delta = rng.integers(0, 2, size=ct.a.shape, dtype=np.uint64)
+    ct2a = np.stack(
+        [(ct.a[m] + delta[m]) % CFG.moduli[m] for m in range(L)]
+    )
+    ct2 = he_np.Ciphertext(a=ct2a, b=ct.b.copy())
+    steps = STEPS[:2]
+    cts_np = [ct, ct2]
+    want = [
+        he_np.rotate_hoisted(c, [s], [k], CFG)[0]
+        for c, s, k in zip(cts_np, steps, ksks)
+    ]
+    cts_p = [
+        (he_planes.from_u64(c.a), he_planes.from_u64(c.b)) for c in cts_np
+    ]
+    kp = [he_planes.from_u64(k) for k in ksks[:2]]
+    outs = he_planes.rotate_batch(cts_p, steps, kp, CFG)
+    for s, w, (oa, ob) in zip(steps, want, outs):
+        assert np.array_equal(np.asarray(he_planes.to_u64(oa)), w.a), s
+        assert np.array_equal(np.asarray(he_planes.to_u64(ob)), w.b), s
+
+
 def test_fallback_is_plain_rotations(monkeypatch, material):
     """With the fused kernels disabled the wrapper degrades to plain
     per-step rotations (no hoisting, same decrypt semantics)."""
