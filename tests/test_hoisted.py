@@ -69,6 +69,7 @@ def test_oracle_matches_rotate_noise_envelope(material):
         assert not (out.b == ref.b).all()  # different lift representatives
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ks_ntt", ["stream", "mxu"])
 def test_kernel_hoisted_matches_oracle(monkeypatch, material, ks_ntt):
     """The fused-kernel hoisted path (aut-free head kernel + per-step
@@ -92,6 +93,7 @@ def test_kernel_hoisted_matches_oracle(monkeypatch, material, ks_ntt):
         assert np.array_equal(np.asarray(he_planes.to_u64(ob)), w.b), s
 
 
+@pytest.mark.slow
 def test_he_jax_surface_matches_oracle(monkeypatch, material):
     """The uint64 wrapper delegates to the plane path (one step to keep
     the interpret-mode cost down)."""
@@ -140,6 +142,7 @@ def test_oracle_three_limbs():
         assert err < 1e-4, f"step {s}: slot error {err}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ks_ntt", ["stream", "mxu"])
 def test_kernel_hoisted_three_limbs_small_ring(monkeypatch, ks_ntt):
     """The hoisted kernel path is limb-count- and ring-degree-generic:
@@ -230,6 +233,7 @@ def test_rotate_batch_distinct_cts(monkeypatch, material):
         assert np.array_equal(np.asarray(he_planes.to_u64(ob)), w.b), s
 
 
+@pytest.mark.slow
 def test_fallback_is_plain_rotations(monkeypatch, material):
     """With the fused kernels disabled the wrapper degrades to plain
     per-step rotations (no hoisting, same decrypt semantics)."""

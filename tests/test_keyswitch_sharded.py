@@ -22,6 +22,7 @@ def _ct(flat):
     return p[:2].copy(), p[2:].copy()
 
 
+@pytest.mark.slow
 @requires_tv
 @requires_2dev
 def test_rotate_sharded_bit_exact_golden():
@@ -39,6 +40,7 @@ def test_rotate_sharded_bit_exact_golden():
     assert (np.asarray(out_b) == want[2:]).all()
 
 
+@pytest.mark.slow
 @requires_tv
 @requires_2dev
 def test_rotate_sharded_batched_dp():

@@ -90,6 +90,7 @@ def test_pt_rotate_matches_ct_semantics(material):
     assert np.abs(got - np.roll(dvecs[0], -3)).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_planes_match_oracle(monkeypatch, material):
     """The plane path (hoisted kernels + gathers) is word-exact against
     the NumPy oracle end to end."""
@@ -115,6 +116,7 @@ def test_planes_match_oracle(monkeypatch, material):
     assert np.array_equal(np.asarray(he_planes.to_u64(out[1])), want.b)
 
 
+@pytest.mark.slow
 def test_planes_matvec_jits_as_one_program(monkeypatch, material):
     """The serving shape: the whole BSGS matvec (hoisted head + tails +
     giant rotation + accumulation) traces into ONE jitted program with

@@ -71,7 +71,13 @@ def test_mul_modes(monkeypatch, mul, rowmode):
 
 @pytest.mark.parametrize(
     "ks_kernel,ks_ntt",
-    [("1", "stream"), ("1", "mxu"), ("0", "stream")],
+    [
+        # one combo stays in the fast default suite; the rest are
+        # full-run-only (the interpreter makes each ~25 s)
+        pytest.param("1", "stream", marks=pytest.mark.slow),
+        ("1", "mxu"),
+        pytest.param("0", "stream", marks=pytest.mark.slow),
+    ],
 )
 def test_fused_rotate_matches_he_np(monkeypatch, ks_kernel, ks_ntt):
     """All fused rotates — the 2-launch ks_kernel path (in-kernel
@@ -102,6 +108,7 @@ def test_fused_rotate_matches_he_np(monkeypatch, ks_kernel, ks_ntt):
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
 
 
+@pytest.mark.slow
 def test_fused_conjugate_matches_he_np(monkeypatch):
     """Conjugation (Galois e = 2N-1) through the fused kernels — the
     in-kernel automorphism constants at the negation exponent — is
@@ -126,6 +133,7 @@ def test_fused_conjugate_matches_he_np(monkeypatch):
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
 
 
+@pytest.mark.slow
 def test_fused_relin_rescale_matches_he_np(monkeypatch):
     """relinearize + rescale through the fused streaming launches are
     bit-identical to the NumPy oracle."""
@@ -157,6 +165,7 @@ def test_fused_relin_rescale_matches_he_np(monkeypatch):
     assert np.array_equal(np.asarray(he_planes.to_u64(rs[1])), want_rs.b)
 
 
+@pytest.mark.slow
 def test_multi_modulus_launch(monkeypatch):
     """One launch, three groups, three moduli == three single launches."""
     import jax.numpy as jnp
@@ -197,6 +206,7 @@ def test_multi_modulus_launch(monkeypatch):
     assert np.array_equal(back, a)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ks_ntt", ["stream", "mxu"])
 def test_fused_rotate_three_limbs_small_ring(monkeypatch, ks_ntt):
     """The fused ks_head/ks_tail kernels are limb-count- and ring-degree-
@@ -246,6 +256,7 @@ def test_fused_rotate_three_limbs_small_ring(monkeypatch, ks_ntt):
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
 
 
+@pytest.mark.slow
 def test_prepared_ksk_survives_retracing(monkeypatch):
     """prepare_ksk is reached from INSIDE jit when the key is closed over
     concretely; its cached planes must be trace-independent.  Regression:

@@ -131,6 +131,7 @@ def test_collective_count():
     assert text.count("collective-permute") <= 3 + 1  # 3 exchanges (+1 slack)
 
 
+@pytest.mark.slow
 @requires_8dev
 def test_hoisted_rotation_batch_sharded(monkeypatch):
     """Hoisted rotations compose with the mesh: dp-sharded ciphertext
