@@ -1,0 +1,307 @@
+#!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+"""Machine-readable op-benchmark suite -> OPBENCH_r{N}.json.
+
+Runs the he_planes op set (elementwise, rotation, hoisted rotation,
+BSGS matvec) under the honest chained protocol and writes ONE json file
+with a recorded + marginal pair, the measurement shape, and a bitexact
+word (device chain output vs the he_np oracle) for every op — so the
+per-op numbers are trackable across rounds the way BENCH_r*.json is
+(round-4 verdict item 4; the docs/STATUS.md tables were not machine
+readable).
+
+    python tools/bench_opsuite.py [--out OPBENCH_r05.json]
+
+Protocol per op: a K-long data-dependent chain in ONE jitted program
+(one ~30 ms tunnel dispatch), scalar readback; recorded = B*K/t at the
+full chain, marginal = K-slope between the half and full chain (null
+when window drift makes the slope meaningless).  Epoch health is
+sampled once (null dispatch time + the XLA-path NTT rate) so readers
+can normalize across tunnel epochs.  The file is (re)written after
+EVERY op — a wedged remote compile still leaves the earlier results.
+
+Env: OPS (comma subset), B, K, TRIALS, OPBENCH_HOISTED_K (default 12).
+Reference analogues: hom_add/mul_plain = the 64-beat elementwise
+instructions (src/vp/sequncer/seq_top.v:516); rotate = the keyswitch
+program (sim/vp/isram_file_generator/keyswitch.mem); matvec = the E2E
+op-list runner shape (sim/top/top_noaxilite_tb.sv:596-638).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--round", type=int, default=5)
+    args = ap.parse_args()
+    out_path = args.out or f"OPBENCH_r{args.round:02d}.json"
+
+    import jax
+
+    if os.environ.get("OPBENCH_CPU"):
+        # logic smoke on the CPU backend (pair with
+        # ALOHA_STREAM_INTERPRET=1); numbers are meaningless
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from aloha_tpu import he_np, he_planes as hp, keys, ntt_jax, ntt_np
+    from aloha_tpu.config import DEFAULT_CONFIG as CFG
+
+    B = int(os.environ.get("B", "64"))
+    K = int(os.environ.get("K", "16"))
+    KH = int(os.environ.get("OPBENCH_HOISTED_K", "12"))
+    TRIALS = int(os.environ.get("TRIALS", "4"))
+    L, n = CFG.n_limbs, CFG.n
+    rng = np.random.default_rng(0)
+
+    # ----- material (device planes + numpy mirrors for the oracle) -----
+    def rand_u64(shape):
+        lim = np.broadcast_to(
+            np.asarray(CFG.moduli[:L], dtype=np.uint64)[:, None], (L, n)
+        )
+        return (
+            rng.integers(0, 1 << 63, size=shape + (L, n), dtype=np.uint64)
+            % lim
+        )
+
+    a1, b1 = rand_u64((B,)), rand_u64((B,))
+    a2, b2 = rand_u64((B,)), rand_u64((B,))
+    ptv = rand_u64((B,))
+    ct1 = (hp.from_u64(jnp.asarray(a1)), hp.from_u64(jnp.asarray(b1)))
+    ct2 = (hp.from_u64(jnp.asarray(a2)), hp.from_u64(jnp.asarray(b2)))
+    pt = hp.from_u64(jnp.asarray(ptv))
+    sk = keys.gen_secret(CFG, np.random.default_rng(1))
+    ksk_np = keys.gen_rotation_key(sk, 2, CFG, np.random.default_rng(2))
+    ksk = hp.from_u64(jnp.asarray(ksk_np))
+
+    def ct_np(i):
+        return he_np.Ciphertext(a=a1[i].copy(), b=b1[i].copy())
+
+    # oracle single-ct steps mirroring each op (slice i of the batch)
+    def o_hom_add(c, i):
+        return he_np.hom_add(
+            c, he_np.Ciphertext(a=a2[i], b=b2[i]), CFG
+        )
+
+    def o_mul_plain(c, i):
+        return he_np.mul_plain(c, ptv[i], CFG)
+
+    def o_ct_mul_like(c, i):
+        return he_np.hom_add(
+            he_np.mul_plain(c, ptv[i], CFG),
+            he_np.mul_plain(he_np.Ciphertext(a=a2[i], b=b2[i]), ptv[i], CFG),
+            CFG,
+        )
+
+    def o_rotate(c, i):
+        return he_np.rotate(c, 2, ksk_np, CFG)
+
+    def o_matvec_step(c, i):
+        return he_np.hom_add(
+            he_np.mul_plain(he_np.rotate(c, 2, ksk_np, CFG), ptv[i], CFG),
+            he_np.Ciphertext(a=a2[i], b=b2[i]), CFG,
+        )
+
+    ops = {
+        "hom_add": (lambda ct: hp.hom_add(ct, ct2, CFG), o_hom_add, K * 8),
+        "mul_plain": (lambda ct: hp.mul_plain(ct, pt, CFG), o_mul_plain,
+                      K * 8),
+        "ct_mul_like": (
+            lambda ct: hp.hom_add(
+                hp.mul_plain(ct, pt, CFG), hp.mul_plain(ct2, pt, CFG), CFG
+            ),
+            o_ct_mul_like, K * 4,
+        ),
+        "rotate": (lambda ct: hp.rotate(ct, 2, ksk, CFG), o_rotate, K),
+        "matvec_step": (
+            lambda ct: hp.hom_add(
+                hp.mul_plain(hp.rotate(ct, 2, ksk, CFG), pt, CFG),
+                ct2, CFG,
+            ),
+            o_matvec_step, K,
+        ),
+    }
+
+    def scalar0(t):
+        leaf = jax.tree_util.tree_leaves(t)[0]
+        return leaf[(0,) * leaf.ndim]
+
+    def timed(cfn, x):
+        out = cfn(x)
+        _ = np.asarray(scalar0(out))
+        best = np.inf
+        for _t in range(TRIALS):
+            t0 = time.perf_counter()
+            out = cfn(x)
+            _ = np.asarray(scalar0(out))
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    results = {
+        "round": args.round,
+        "protocol": "K-chain, one jitted program, scalar readback, "
+                    f"best of {TRIALS}",
+        "ops": {},
+    }
+
+    def flush():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"# wrote {out_path}", flush=True)
+
+    # ----------------------------------------------- epoch health sample
+    q, psi = CFG.moduli[0], CFG.psi[0]
+    xb = jnp.asarray(rand_u64((B,))[:, 0])
+    null = jax.jit(lambda v: v[0, 0] + jnp.uint64(1))
+    t_null, _ = timed(null, xb)
+
+    def ntt_chain(v):
+        for _ in range(8):
+            v = ntt_jax.ntt(v, q, psi)
+        return v
+
+    t_xla, _ = timed(jax.jit(ntt_chain), xb)
+    results["epoch"] = {
+        "ts": time.time(),
+        "null_dispatch_ms": round(t_null * 1e3, 2),
+        "ntt8192_xla_rate": round(B * 8 / t_xla, 1),
+    }
+    flush()
+
+    # --------------------------------------------------------- op chains
+    sel = os.environ.get("OPS")
+    sel = sel.split(",") if sel else list(ops) + ["rotate_hoisted",
+                                                 "matvec_bsgs"]
+    for name, (step, oracle, k) in ops.items():
+        if name not in sel:
+            continue
+        try:
+            def chain(ct, k=k, step=step):
+                for _ in range(k):
+                    ct = step(ct)
+                return ct
+
+            cfn = jax.jit(chain)
+            cfn_half = jax.jit(lambda ct: chain(ct, k=k // 2))
+            t_hi, out = timed(cfn, ct1)
+            t_lo, _ = timed(cfn_half, ct1)
+            # bitexact word: batch element 0 vs the k-fold oracle chain
+            got_a = np.asarray(hp.to_u64(out[0]))[0]
+            got_b = np.asarray(hp.to_u64(out[1]))[0]
+            c = ct_np(0)
+            for _j in range(k):
+                c = oracle(c, 0)
+            ok = bool((got_a == c.a).all() and (got_b == c.b).all())
+            marginal = (
+                round(B * (k - k // 2) / (t_hi - t_lo), 1)
+                if t_hi > t_lo else None
+            )
+            results["ops"][name] = {
+                "recorded": round(B * k / t_hi, 1),
+                "marginal": marginal,
+                "unit": "ops/s/chip",
+                "batch": B, "chain": k,
+                "bitexact": ok,
+            }
+        except Exception as e:  # tunnel/compile wedge: keep going
+            results["ops"][name] = {
+                "error": f"{type(e).__name__}: {e}"[:300]
+            }
+        flush()
+
+    # ------------------------------------------- hoisted rotations (A/B)
+    if "rotate_hoisted" in sel:
+        try:
+            steps = list(range(1, KH + 1))
+            ksks_np = [
+                keys.gen_rotation_key(sk, s, CFG, np.random.default_rng(10 + s))
+                for s in steps
+            ]
+            ksks = [hp.from_u64(jnp.asarray(kk)) for kk in ksks_np]
+            hoisted = jax.jit(lambda ct: hp.rotate_hoisted(
+                ct, steps, ksks, CFG
+            ))
+            plain = jax.jit(lambda ct: [
+                hp.rotate(ct, s, kk, CFG) for s, kk in zip(steps, ksks)
+            ])
+            t_h, outs = timed(hoisted, ct1)
+            t_p, _ = timed(plain, ct1)
+            oa = np.asarray(hp.to_u64(outs[0][0]))[0]
+            ob = np.asarray(hp.to_u64(outs[0][1]))[0]
+            w, = he_np.rotate_hoisted(ct_np(0), [1], [ksks_np[0]], CFG)
+            ok = bool((oa == w.a).all() and (ob == w.b).all())
+            per_h = (t_h - t_null) / (KH * B)
+            per_p = (t_p - t_null) / (KH * B)
+            results["ops"]["rotate_hoisted"] = {
+                "recorded": round(B * KH / t_h, 1),
+                "marginal": round(1 / per_h, 1),
+                "unit": "rotations/s/chip",
+                "batch": B, "chain": KH,
+                "bitexact": ok,
+                "us_per_rotation_device": round(per_h * 1e6, 2),
+                "plain_us_per_rotation_device": round(per_p * 1e6, 2),
+                "speedup_vs_plain": round(per_p / per_h, 2),
+            }
+        except Exception as e:
+            results["ops"]["rotate_hoisted"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]
+            }
+        flush()
+
+    # ------------------------------------------------ BSGS matvec (E2E)
+    if "matvec_bsgs" in sel:
+        try:
+            D, G = 16, 4
+            bg = (D + G - 1) // G
+            diags_np = [rand_u64(()) for _ in range(D)]
+            diags = [hp.from_u64(jnp.asarray(d)) for d in diags_np]
+            kb_np = [
+                keys.gen_rotation_key(sk, j, CFG, np.random.default_rng(30 + j))
+                for j in range(1, G)
+            ]
+            kg_np = [
+                keys.gen_rotation_key(
+                    sk, G * i, CFG, np.random.default_rng(40 + i))
+                for i in range(1, bg)
+            ]
+            kb = [hp.from_u64(jnp.asarray(kk)) for kk in kb_np]
+            kg = [hp.from_u64(jnp.asarray(kk)) for kk in kg_np]
+            mv = jax.jit(lambda ct: hp.matvec_bsgs(ct, diags, kb, kg, CFG,
+                                                   g=G))
+            t_mv, out = timed(mv, ct1)
+            oa = np.asarray(hp.to_u64(out[0]))[0]
+            ob = np.asarray(hp.to_u64(out[1]))[0]
+            w = he_np.matvec_bsgs(ct_np(0), diags_np, kb_np, kg_np, CFG, g=G)
+            ok = bool((oa == w.a).all() and (ob == w.b).all())
+            results["ops"]["matvec_bsgs"] = {
+                "recorded": round(B / t_mv, 1),
+                "marginal": None,
+                "unit": f"matvec{D}/s/chip (D=16 diagonals, g=4)",
+                "batch": B, "chain": 1,
+                "bitexact": ok,
+                "rotations_equivalent_per_s": round(
+                    B * (G - 1 + bg - 1) / t_mv, 1
+                ),
+            }
+        except Exception as e:
+            results["ops"]["matvec_bsgs"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]
+            }
+        flush()
+
+    print(json.dumps({"opbench": out_path,
+                      "n_ops": len(results["ops"])}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
