@@ -751,6 +751,44 @@ def _chunking(nb: int):
     return bp, nb // bp
 
 
+def ntt_planes_with_tables(alo, ahi, tables6, q: int, inverse: bool):
+    """Streaming transform with CALLER-SUPPLIED table planes (traced
+    values allowed): tables6 = (w_lo, w_hi, s0, s1, s2, s3), each
+    (log2(rows*LANES), rows, LANES) — the _tables6_np layout, but e.g. a
+    per-shard slice of a LARGER ring's stage tables.  This is the
+    composed multi-chip form's local body: when a size-n ring is
+    coefficient-sharded over D devices, the global stages with t < C
+    (= n/D) are exactly a size-C stage loop whose twiddles are the
+    global tables' stage/row slice for this shard (the XOR butterfly
+    partner of a local index stays shard-local, and K._tables_np stores
+    pair-identical per-element twiddles).  Cross-shard stages stay
+    outside (ppermute; parallel/ntt_sharded.py).  Reference analogue:
+    the iconn fl tap sits inside the engine's hot loop
+    (src/vp/iconn/iconn_top.sv:56-58) — here the ICI exchanges wrap the
+    SAME production kernel instead of a separate slow path."""
+    nb, rows = alo.shape[0], alo.shape[1]
+    bp, nchunks = _chunking(nb)
+    body = functools.partial(_stream_body, inverse, q, nchunks, bp, rows)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    with jax.enable_x64(False):
+        call = pl.pallas_call(
+            body,
+            in_specs=[vmem] * 6 + [hbm] * 2,
+            out_specs=[hbm] * 2,
+            out_shape=[jax.ShapeDtypeStruct(alo.shape, jnp.uint32)] * 2,
+            input_output_aliases={6: 0, 7: 1},
+            interpret=bool(os.environ.get("ALOHA_STREAM_INTERPRET")),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=int(
+                    os.environ.get("ALOHA_STREAM_VMEM", str(100 * 2**20))
+                ),
+            ),
+        )
+        return call(*tables6, alo, ahi)
+
+
 @functools.lru_cache(maxsize=None)
 def _tables6_multi_np(n: int, roots: tuple, qs: tuple, inverse: bool):
     """Stacked (M, logn, rows, LANES) u32 table planes for qs/roots."""

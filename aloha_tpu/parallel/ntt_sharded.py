@@ -131,3 +131,133 @@ def intt_sharded(a, q: int, ipsi: int, mesh: Mesh, axis: str = "coeff"):
     n = a.shape[-1]
     table = jnp.asarray(ntt_jax._tables(n, ipsi, q, inverse=True))
     return _run(a, table, q, ipsi, mesh, axis, True)
+
+
+# --------------------------------------------------------------------------
+# Composed form: ppermute cross-shard stages wrapping the PRODUCTION
+# u32-plane streaming kernel as the per-shard body (round-4 verdict #3:
+# the parallel form and the fast form must be the same codepath — the
+# reference's iconn sits inside its engine's hot loop,
+# src/vp/iconn/iconn_top.sv:56-58, not in a separate slow path).
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _tables6_global_np(n: int, root: int, q: int, inverse: bool):
+    """Global-ring stage tables in the streaming kernel's 6-plane format
+    ((logn, rows, LANES) each): w as u32 (lo, hi), Shoup constants as
+    four 16-bit limb planes."""
+    import numpy as np
+
+    from aloha_tpu.ops import ntt_pallas as K
+
+    w_lo, w_hi, s_lo, s_hi = K._tables_np(n, root, q, inverse)
+    m = np.uint32(0xFFFF)
+    return (w_lo, w_hi, s_lo & m, s_lo >> 16, s_hi & m, s_hi >> 16)
+
+
+def _plane_specs(n: int, mesh: Mesh, axis: str):
+    from aloha_tpu.ops.ntt_pallas import LANES
+
+    D = mesh.shape[axis]
+    C = n // D
+    assert C % LANES == 0, (
+        f"per-shard block {C} must be a multiple of {LANES} lanes"
+    )
+    return D, C, C // LANES
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q", "root", "mesh", "axis", "inverse")
+)
+def _run_planes(alo, ahi, q, root, mesh, axis, inverse):
+    """(nb, n) u32 planes, last axis sharded: cross-shard XOR stages via
+    ppermute on the plane pair, shard-local stages via the streaming
+    Pallas kernel with this shard's slice of the GLOBAL stage tables
+    (ntt_stream.ntt_planes_with_tables)."""
+    import numpy as np
+
+    from aloha_tpu import rns_jax as r32
+    from aloha_tpu.ops import ntt_stream as ns
+    from aloha_tpu.ops.ntt_pallas import LANES
+
+    n = alo.shape[-1]
+    D, C, rows_l = _plane_specs(n, mesh, axis)
+    logD, logC = _log2(D), _log2(C)
+    t6 = _tables6_global_np(n, root, q, inverse)
+    if inverse:
+        local_t = tuple(jnp.asarray(t[:logC]) for t in t6)
+        cross_w = [t[logC:].reshape(logD, n) for t in t6[:2]]
+    else:
+        local_t = tuple(jnp.asarray(t[logD:]) for t in t6)
+        cross_w = [t[:logD].reshape(logD, n) for t in t6[:2]]
+    cross_w = [jnp.asarray(t) for t in cross_w]
+
+    def local_kernel(tl, alo, ahi):
+        nb = alo.shape[0]
+        a3 = alo.reshape(nb, rows_l, LANES)
+        b3 = ahi.reshape(nb, rows_l, LANES)
+        olo, ohi = ns.ntt_planes_with_tables(a3, b3, tl, q, inverse)
+        return olo.reshape(nb, C), ohi.reshape(nb, C)
+
+    def body(wlo, whi, tl, alo, ahi):
+        d = jax.lax.axis_index(axis)
+        if inverse:
+            alo, ahi = local_kernel(tl, alo, ahi)
+        for s in range(logD):
+            k = (1 << s) if inverse else (D >> (s + 1))
+            perm = [(j, j ^ k) for j in range(D)]
+            plo = jax.lax.ppermute(alo, axis, perm)
+            phi = jax.lax.ppermute(ahi, axis, perm)
+            bit = (d & k) != 0
+            ulo = jnp.where(bit, plo, alo)
+            uhi = jnp.where(bit, phi, ahi)
+            vlo = jnp.where(bit, alo, plo)
+            vhi = jnp.where(bit, ahi, phi)
+            if inverse:
+                s0 = r32.halfmod64(
+                    *r32.addmod64(ulo, uhi, vlo, vhi, q), q
+                )
+                dlo, dhi = r32.submod64(ulo, uhi, vlo, vhi, q)
+                s1 = r32.halfmod64(
+                    *r32.mulmod64(dlo, dhi, wlo[s], whi[s], q), q
+                )
+                alo = jnp.where(bit, s1[0], s0[0])
+                ahi = jnp.where(bit, s1[1], s0[1])
+            else:
+                xlo, xhi = r32.mulmod64(vlo, vhi, wlo[s], whi[s], q)
+                add = r32.addmod64(ulo, uhi, xlo, xhi, q)
+                sub = r32.submod64(ulo, uhi, xlo, xhi, q)
+                alo = jnp.where(bit, sub[0], add[0])
+                ahi = jnp.where(bit, sub[1], add[1])
+        if not inverse:
+            alo, ahi = local_kernel(tl, alo, ahi)
+        return alo, ahi
+
+    spec = P(None, axis)
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        # the table tuple shares one spec (pytree prefix): stage axis and
+        # lanes replicated, the ROW axis sharded — contiguous coefficient
+        # blocks are contiguous row blocks of the (logn, rows, LANES)
+        # global tables
+        in_specs=(spec, spec, P(None, axis, None), spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return f(*cross_w, local_t, alo, ahi)
+
+
+def ntt_sharded_planes(alo, ahi, q: int, psi: int, mesh: Mesh,
+                       axis: str = "coeff"):
+    """Forward negacyclic NTT on (nb, n) u32 plane pairs with the
+    coefficient axis sharded: log2(D) ppermute exchanges + the
+    production streaming kernel per shard.  Bit-exact vs ntt_np."""
+    return _run_planes(alo, ahi, q, psi, mesh, axis, False)
+
+
+def intt_sharded_planes(alo, ahi, q: int, ipsi: int, mesh: Mesh,
+                        axis: str = "coeff"):
+    """Inverse counterpart of ntt_sharded_planes (local GS stages in the
+    kernel first, then the cross-shard exchanges)."""
+    return _run_planes(alo, ahi, q, ipsi, mesh, axis, True)

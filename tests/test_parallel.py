@@ -210,3 +210,42 @@ def test_hoisted_rotation_batch_sharded(monkeypatch):
             )
             assert np.array_equal(got_a[i], want.a), (s, i)
             assert np.array_equal(got_b[i], want.b), (s, i)
+
+
+@requires_8dev
+@pytest.mark.parametrize("n", [2048, 8192])
+def test_ntt_sharded_planes_kernel_body(monkeypatch, n):
+    """COMPOSED path (round-4 verdict #3): the coefficient-sharded NTT
+    whose per-shard body is the production u32-plane streaming Pallas
+    kernel (interpret mode on the CPU mesh), cross-shard stages as
+    ppermute plane exchanges — bit-exact vs ntt_np, and the inverse
+    roundtrips."""
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    import jax.numpy as jnp
+
+    cfg = small_cfg(n) if n != CFG.n else CFG
+    q, psi, ipsi = cfg.moduli[0], cfg.psi[0], cfg.ipsi[0]
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("coeff",))
+    nb = 2
+    a = RNG.integers(0, q, size=(nb, n), dtype=np.uint64)
+    sh_spec = NamedSharding(mesh, P(None, "coeff"))
+    alo = jax.device_put(
+        jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)), sh_spec
+    )
+    ahi = jax.device_put(
+        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)), sh_spec
+    )
+    olo, ohi = sh.ntt_sharded_planes(alo, ahi, q, psi, mesh)
+    got = (
+        np.asarray(olo).astype(np.uint64)
+        | (np.asarray(ohi).astype(np.uint64) << np.uint64(32))
+    )
+    want = np.stack([ntt_np.ntt(a[i], q, psi) for i in range(nb)])
+    assert np.array_equal(got, want), "composed sharded NTT vs golden"
+    blo, bhi = sh.intt_sharded_planes(olo, ohi, q, ipsi, mesh)
+    back = (
+        np.asarray(blo).astype(np.uint64)
+        | (np.asarray(bhi).astype(np.uint64) << np.uint64(32))
+    )
+    assert np.array_equal(back, a), "composed sharded INTT roundtrip"
