@@ -252,3 +252,16 @@ def rotate_hoisted(ct, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
         steps, [hp.from_u64(k) for k in ksks], cfg,
     )
     return [(hp.to_u64(a), hp.to_u64(b)) for a, b in outs]
+
+
+def rotate_batch(cts, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
+    """Rotate K different ciphertexts (each by its own step/key) in two
+    kernel launches total (uint64 surface; he_planes.rotate_batch is the
+    native implementation — the BSGS giant-step shape)."""
+    from aloha_tpu import he_planes as hp
+
+    outs = hp.rotate_batch(
+        [(hp.from_u64(a), hp.from_u64(b)) for a, b in cts],
+        steps, [hp.from_u64(k) for k in ksks], cfg,
+    )
+    return [(hp.to_u64(a), hp.to_u64(b)) for a, b in outs]
