@@ -330,17 +330,28 @@ def rotate_hoisted(
     outs = []
     for step, ksk in zip(steps, ksks):
         e = pow(3, step, 2 * n)
+        # LAZY-GATHER form: the automorphism rides the KEY (inverse
+        # permutation, applied once per key) and the OUTPUT, never the
+        # raised digit planes — g_e(sum_j nd_j * g_e^-1(K_j)) =
+        # sum_j g_e(nd_j) * K_j pointwise, and the whole mod-down tail
+        # is sigma_e-equivariant, so per step only the L-limb output
+        # pair is gathered instead of the L(L+1) digit planes.  Word-
+        # identical to the gathered-digit form away from 2^-60-rare
+        # rounding ties; the plane/kernel path uses the same formulation
+        # (ks_kernel.rotate_planes_hoisted), keeping word-exactness by
+        # construction.
         perm = nttm.ntt_aut_perm(n, e)
-        nd_e = [[nd[j][m][..., perm] for m in range(n_limbs + 1)]
-                for j in range(n_limbs)]
-        ks_a, ks_b = hybrid_keyswitch_ntt(nd_e, ksk, cfg)
+        pinv = nttm.ntt_aut_perm(n, pow(e, -1, 2 * n))
+        kk = rns.to_u64(ksk)[..., pinv]
+        ks_a, ks_b = hybrid_keyswitch_ntt(nd, kk, cfg)
         a_rot = np.stack(
             [
-                rns.addmod(ct.a[m][..., perm], ks_a[m], moduli[m])
+                rns.addmod(ct.a[m], ks_a[m], moduli[m])[..., perm]
                 for m in range(n_limbs)
             ]
         )
-        outs.append(Ciphertext(a=a_rot, b=ks_b))
+        b_rot = np.stack([ks_b[m][..., perm] for m in range(n_limbs)])
+        outs.append(Ciphertext(a=a_rot, b=b_rot))
     return outs
 
 

@@ -513,7 +513,8 @@ def ks_head(xlo, xhi, step_exp, cfg: HEConfig,
         return call(*consts, xlo, xhi)
 
 
-def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
+def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None,
+            shared_inputs: bool = False):
     """Raised digit planes + NTT-domain riders + KSK -> rotated
     ciphertext planes (L, nb, 2, rows, LANES): [:, :, 0] = a_rot,
     [:, :, 1] = b_rot.  kshoup: optional (s0, s1, s2, s3) 16-bit limb
@@ -524,7 +525,13 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
     out step-major as K blocks of nb/K ciphertexts each — K rotations
     by DIFFERENT keys run in this ONE launch, the grid's index map
     selecting each chunk's key block (c // nchunks_per_step).  Rank-3
-    keys mean K=1 (the classic single-key tail)."""
+    keys mean K=1 (the classic single-key tail).
+
+    shared_inputs=True (lazy-gather hoisting): nlo/nhi/rlo/rhi hold ONE
+    step's worth of data (nb ciphertexts) consumed by ALL K key blocks —
+    the data index maps wrap modulo nchunks, so the K (step-dependent)
+    tails re-read the SAME HBM planes instead of K gathered copies;
+    outputs still come out step-major (L, K*nb, 2, ...)."""
     L = cfg.n_limbs
     nb = nlo.shape[1]
     rows = cfg.n // LANES
@@ -533,9 +540,15 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
         if kshoup is not None:
             kshoup = tuple(s[None] for s in kshoup)
     K = klo.shape[0]
-    assert nb % K == 0, (nb, K)
-    bp = _chunk(nb // K)
-    nchunks = (nb // K) // bp
+    if shared_inputs:
+        nb_out = nb * K
+        bp = _chunk(nb)
+        nchunks = nb // bp
+    else:
+        nb_out = nb
+        assert nb % K == 0, (nb, K)
+        bp = _chunk(nb // K)
+        nchunks = (nb // K) // bp
     mode = _ks_ntt_mode(cfg)
     itbl, ftbl = _tail_tables(cfg, mode)
     consts = [jnp.asarray(t) for t in (*itbl, *ftbl)]
@@ -547,23 +560,27 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
     kspec = pl.BlockSpec(
         (1,) + klo.shape[1:], lambda c: (c // nchunks, 0, 0, 0)
     )
+    if shared_inputs:
+        dix = lambda c: c % nchunks  # noqa: E731
+    else:
+        dix = lambda c: c  # noqa: E731
     with jax.enable_x64(False):
         call = pl.pallas_call(
             body,
-            grid=(nb // bp,),
+            grid=(nb_out // bp,),
             in_specs=(
                 [full(t.shape) for t in consts]
                 + [kspec] * (2 + nks)
                 + [
                     pl.BlockSpec(
                         (L + 1, bp, L, rows, LANES),
-                        lambda c: (0, c, 0, 0, 0),
+                        lambda c: (0, dix(c), 0, 0, 0),
                     )
                 ]
                 * 2
                 + [
                     pl.BlockSpec(
-                        (L, bp, rows, LANES), lambda c: (0, c, 0, 0)
+                        (L, bp, rows, LANES), lambda c: (0, dix(c), 0, 0)
                     )
                 ]
                 * 2
@@ -575,7 +592,7 @@ def ks_tail(nlo, nhi, rlo, rhi, klo, khi, cfg: HEConfig, kshoup=None):
             ]
             * 2,
             out_shape=[
-                jax.ShapeDtypeStruct((L, nb, 2, rows, LANES), jnp.uint32)
+                jax.ShapeDtypeStruct((L, nb_out, 2, rows, LANES), jnp.uint32)
             ]
             * 2,
             interpret=_interp(),
@@ -595,17 +612,24 @@ _KSK_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _KSK_CACHE_CAP = int(os.environ.get("ALOHA_KSK_CACHE_CAP", "64"))
 
 
-def prepare_ksk(ksk, cfg: HEConfig):
+def prepare_ksk(ksk, cfg: HEConfig, aut_exp: int | None = None):
     """Device-key preparation: compute floor(k * 2^64 / q_m) for every
     KSK coefficient (the Shoup companion of the key, host-side bigint,
     once per key) and return (klo, khi, s0, s1, s2, s3) planes shaped
     (2L(L+1), rows, LANES).  The analogue of the reference's one-time
     key DMA into ksk_mem (reference: sim/top/top_noaxilite_tb.sv:372).
 
+    aut_exp: Galois exponent e of the rotation this key serves — the
+    key planes are INVERSE-gathered (NTT-domain permutation for
+    e^-1 mod 2n) before preparation, so the hoisted/batched tails can
+    consume UNGATHERED digit planes and defer the automorphism to the
+    (much smaller) output ciphertext (the lazy-gather form; see
+    rotate_planes_hoisted).  One-time per (key, e), like the Shoup prep.
+
     Results are cached by the identity of the input planes (the cache
     holds a reference, so ids stay valid)."""
     klo, khi = ksk
-    ck = (id(klo), id(khi))
+    ck = (id(klo), id(khi), aut_exp)
     hit = _KSK_CACHE.get(ck)
     if hit is not None and hit[0] is klo and hit[1] is khi:
         _KSK_CACHE.move_to_end(ck)
@@ -616,6 +640,11 @@ def prepare_ksk(ksk, cfg: HEConfig):
         np.asarray(klo).astype(np.uint64)
         | (np.asarray(khi).astype(np.uint64) << np.uint64(32))
     ).reshape(2 * L * (L + 1), cfg.n)
+    if aut_exp is not None:
+        pinv = _ntt_aut_perm_np(
+            cfg.n, pow(aut_exp, -1, 2 * cfg.n)
+        )
+        k64 = np.ascontiguousarray(k64[:, pinv])
     s = np.empty_like(k64)
     stride = 2 * L
     for p in range(k64.shape[0]):
@@ -636,8 +665,16 @@ def prepare_ksk(ksk, cfg: HEConfig):
     # tracers into the next jit of the same key.
     with jax.ensure_compile_time_eval():
         out = (
-            jnp.asarray(np.asarray(klo).reshape(-1, rows, LANES)),
-            jnp.asarray(np.asarray(khi).reshape(-1, rows, LANES)),
+            # the w planes come from k64 (carries the aut_exp inverse
+            # gather when set), NOT the raw input planes
+            jnp.asarray(
+                (k64 & np.uint64(0xFFFFFFFF))
+                .astype(np.uint32).reshape(-1, rows, LANES)
+            ),
+            jnp.asarray(
+                (k64 >> np.uint64(32))
+                .astype(np.uint32).reshape(-1, rows, LANES)
+            ),
             *(jnp.asarray(v) for v in limbs),
         )
     while len(_KSK_CACHE) >= _KSK_CACHE_CAP:
@@ -700,25 +737,36 @@ def rotate_planes(a, b, step_exp: int, ksk, cfg: HEConfig):
     return a_rot, b_rot
 
 
-def _stacked_keys(ksks, cfg: HEConfig):
+def _stacked_keys(ksks, cfg: HEConfig, aut_exps=None):
     """Stack K keys into the batched-tail layout: (klo, khi) of
     (K, 2L(L+1), rows, LANES) plus the Shoup limb-plane stack (or None
-    when any key is a jit tracer — no host-side preparation possible)."""
+    when any key is a jit tracer — no host-side preparation possible).
+
+    aut_exps: per-key Galois exponents for the lazy-gather form — each
+    key is inverse-gathered (host-side when concrete, one jnp gather
+    when traced) so the tail consumes ungathered digit planes."""
     L = cfg.n_limbs
     rows = cfg.n // LANES
+    n = cfg.n
     traced = any(
         isinstance(k[0], jax.core.Tracer) or isinstance(k[1], jax.core.Tracer)
         for k in ksks
     )
     if traced:
-        klo = jnp.stack(
-            [k[0].reshape(2 * L * (L + 1), rows, LANES) for k in ksks]
-        )
-        khi = jnp.stack(
-            [k[1].reshape(2 * L * (L + 1), rows, LANES) for k in ksks]
-        )
+        def prep(k, e):
+            if aut_exps is not None:
+                pinv = jnp.asarray(
+                    _ntt_aut_perm_np(n, pow(e, -1, 2 * n))
+                )
+                k = jnp.take(k.reshape(2 * L * (L + 1), n), pinv, axis=-1)
+            return k.reshape(2 * L * (L + 1), rows, LANES)
+
+        exps = aut_exps or [None] * len(ksks)
+        klo = jnp.stack([prep(k[0], e) for k, e in zip(ksks, exps)])
+        khi = jnp.stack([prep(k[1], e) for k, e in zip(ksks, exps)])
         return klo, khi, None, traced
-    preps = [prepare_ksk(k, cfg) for k in ksks]
+    exps = aut_exps or [None] * len(ksks)
+    preps = [prepare_ksk(k, cfg, aut_exp=e) for k, e in zip(ksks, exps)]
     klo = jnp.stack([p[0] for p in preps])
     khi = jnp.stack([p[1] for p in preps])
     kshoup = tuple(
@@ -764,39 +812,33 @@ def rotate_planes_hoisted(a, b, step_exps, ksks, cfg: HEConfig):
         t = lo.reshape(nb, L, rows, LANES)
         return jnp.moveaxis(t, 1, 0)
 
-    klo, khi, kshoup, traced = _stacked_keys(ksks, cfg)
+    # LAZY-GATHER form: the per-step automorphism rides the KEY
+    # (inverse-gathered once at preparation) and the OUTPUT ciphertext —
+    # g_e(sum_j nd_j * g_e^-1(K_j)) = sum_j g_e(nd_j) * K_j and the
+    # mod-down tail is sigma-equivariant, so ALL K tail blocks consume
+    # the SAME ungathered digit planes and riders (shared_inputs mode:
+    # no K-fold gathered copies in HBM at all); per step only the L-limb
+    # output pair is gathered.  he_np.rotate_hoisted mirrors this
+    # formulation exactly, keeping word-exactness by construction.
+    klo, khi, kshoup, traced = _stacked_keys(
+        ksks, cfg, aut_exps=list(step_exps)
+    )
     nlo, nhi = ks_head(
         pack(blo), pack(bhi), None, cfg, lazy_out=not traced
     )
 
-    perms = jnp.asarray(
-        np.stack([_ntt_aut_perm_np(n, e) for e in step_exps])
-    )  # (K, n)
-
-    def gatherK(t):
-        # (A, nb, B, rows, LANES) -> (A, K*nb, B, rows, LANES),
-        # step-major: all K gathers in one take
-        shp = t.shape
-        flat = t.reshape(shp[:-2] + (n,))
-        g = jnp.take(flat, perms, axis=-1)  # (..., K, n)
-        g = jnp.moveaxis(g, -2, 1)          # (A, K, nb, B, n)
-        return g.reshape((shp[0], K * shp[1]) + shp[2:])
-
-    def riderK(t):
-        # (..., L, n) a-part -> (L, K*nb, rows, LANES) step-major
-        g = jnp.take(t, perms, axis=-1)     # batch + (L, K, n)
-        g = jnp.moveaxis(g, -2, 0)          # (K,) + batch + (L, n)
-        t2 = g.reshape(K * nb, L, rows, LANES)
-        return jnp.moveaxis(t2, 1, 0)
-
     olo, ohi = ks_tail(
-        gatherK(nlo), gatherK(nhi), riderK(alo), riderK(ahi),
-        klo, khi, cfg, kshoup=kshoup,
+        nlo, nhi, pack(alo), pack(ahi),
+        klo, khi, cfg, kshoup=kshoup, shared_inputs=True,
     )
+
+    perms = [jnp.asarray(_ntt_aut_perm_np(n, e)) for e in step_exps]
 
     def unpack(t, k, part):
         u = jnp.moveaxis(t[:, k * nb:(k + 1) * nb, part], 0, 1)
-        return u.reshape(batch + (L, cfg.n))
+        return jnp.take(
+            u.reshape(batch + (L, cfg.n)), perms[k], axis=-1
+        )
 
     return [
         ((unpack(olo, k, 0), unpack(ohi, k, 0)),
@@ -835,42 +877,32 @@ def rotate_planes_batch(cts, step_exps, ksks, cfg: HEConfig):
         t = jnp.stack([p.reshape(nb, L, rows, LANES) for p in parts])
         return jnp.moveaxis(t.reshape(K * nb, L, rows, LANES), 1, 0)
 
-    klo, khi, kshoup, traced = _stacked_keys(ksks, cfg)
+    # lazy-gather form (see rotate_planes_hoisted): per-block keys are
+    # inverse-gathered at preparation, digits and riders enter the tail
+    # ungathered, each block's small output pair takes the gather
+    klo, khi, kshoup, traced = _stacked_keys(
+        ksks, cfg, aut_exps=list(step_exps)
+    )
     nlo, nhi = ks_head(
         packK([ct[1][0] for ct in cts]),
         packK([ct[1][1] for ct in cts]),
         None, cfg, lazy_out=not traced,
     )
 
-    perms = jnp.asarray(
-        np.stack([_ntt_aut_perm_np(n, e) for e in step_exps])
-    )  # (K, n)
-
-    def gather_blocks(t):
-        # (A, K*nb, B, rows, LANES): block k gathered by ITS OWN perm
-        shp = t.shape
-        flat = t.reshape((shp[0], K, nb) + shp[2:-2] + (n,))
-        idx = perms.reshape((1, K, 1) + (1,) * (len(shp) - 4) + (n,))
-        g = jnp.take_along_axis(flat, idx, axis=-1)
-        return g.reshape(shp)
-
-    def rider_blocks(parts):
-        # K x (..., L, n) a-parts, each gathered by its own perm
-        t = jnp.stack([p.reshape(nb, L, n) for p in parts])  # (K,nb,L,n)
-        g = jnp.take_along_axis(t, perms[:, None, None, :], axis=-1)
-        t2 = g.reshape(K * nb, L, rows, LANES)
-        return jnp.moveaxis(t2, 1, 0)
-
     olo, ohi = ks_tail(
-        gather_blocks(nlo), gather_blocks(nhi),
-        rider_blocks([ct[0][0] for ct in cts]),
-        rider_blocks([ct[0][1] for ct in cts]),
+        nlo, nhi,
+        packK([ct[0][0] for ct in cts]),
+        packK([ct[0][1] for ct in cts]),
         klo, khi, cfg, kshoup=kshoup,
     )
 
+    perms = [jnp.asarray(_ntt_aut_perm_np(n, e)) for e in step_exps]
+
     def unpack(t, k, part):
         u = jnp.moveaxis(t[:, k * nb:(k + 1) * nb, part], 0, 1)
-        return u.reshape(batch + (L, cfg.n))
+        return jnp.take(
+            u.reshape(batch + (L, cfg.n)), perms[k], axis=-1
+        )
 
     return [
         ((unpack(olo, k, 0), unpack(ohi, k, 0)),
