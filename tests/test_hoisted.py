@@ -253,3 +253,29 @@ def test_fallback_is_plain_rotations(monkeypatch, material):
     )
     assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
+
+
+def test_kernel_hoisted_traced_keys(monkeypatch, material):
+    """Keys passed as JIT ARGUMENTS (tracers): the lazy-gather key
+    preparation falls back to an in-trace jnp gather (no host Shoup
+    prep), and the Barrett tail still matches the oracle word-for-word."""
+    pytest.importorskip("jax.experimental.pallas")
+    import jax
+
+    from aloha_tpu import he_planes
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    _, _, ct, ksks = material
+    steps = STEPS[:1]
+    want, = he_np.rotate_hoisted(ct, steps, ksks[:1], CFG)
+    ctp = (he_planes.from_u64(ct.a), he_planes.from_u64(ct.b))
+    kp = he_planes.from_u64(ksks[0])
+
+    fn = jax.jit(
+        lambda c, k: he_planes.rotate_hoisted(c, steps, [k], CFG)[0]
+    )
+    oa, ob = fn(ctp, kp)
+    assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
