@@ -316,8 +316,22 @@ def rotate_hoisted(
     key-switch keys (the SAME keys rotate() uses).  Returns a list of
     Ciphertexts aligned with steps.
     """
-    assert len(steps) == len(ksks), (
-        f"{len(steps)} steps but {len(ksks)} key-switch keys"
+    n = ct.a.shape[-1]
+    return galois_hoisted(
+        ct, [pow(3, s, 2 * n) for s in steps], ksks, cfg
+    )
+
+
+def galois_hoisted(
+    ct: Ciphertext,
+    step_exps,
+    ksks,
+    cfg: HEConfig = DEFAULT_CONFIG,
+):
+    """Hoisted form for ARBITRARY Galois exponents (the shared core of
+    rotate_hoisted; pass 2N-1 for hoisted conjugation)."""
+    assert len(step_exps) == len(ksks), (
+        f"{len(step_exps)} exponents but {len(ksks)} key-switch keys"
     )
     n = ct.a.shape[-1]
     moduli = cfg.moduli
@@ -328,8 +342,7 @@ def rotate_hoisted(
     nd = raise_digits(digits, cfg)
 
     outs = []
-    for step, ksk in zip(steps, ksks):
-        e = pow(3, step, 2 * n)
+    for e, ksk in zip(step_exps, ksks):
         # LAZY-GATHER form: the automorphism rides the KEY (inverse
         # permutation, applied once per key) and the OUTPUT, never the
         # raised digit planes — g_e(sum_j nd_j * g_e^-1(K_j)) =

@@ -404,22 +404,39 @@ def rotate_hoisted(ct, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):
     ciphertexts aligned with steps.
 
     On the fused-kernel path the head (8 of the rotation's 14
-    transforms) runs once for all steps — the per-step cost is an
-    NTT-domain gather plus the tail kernel, ~2.3x less transform work
-    per rotation at large len(steps).  The non-kernel fallback performs
-    plain per-step rotations (functionally identical at decrypt level,
-    no hoisting speedup)."""
-    assert len(steps) == len(ksks), (
-        f"{len(steps)} steps but {len(ksks)} key-switch keys"
+    transforms) runs once for all steps and ALL K tails share one
+    launch on the ungathered digit planes (lazy-gather form: the
+    automorphism rides the prepared keys and the small output pair) —
+    measured 1.91x plain rotation per step at K=12.  The non-kernel
+    fallback performs plain per-step rotations (functionally identical
+    at decrypt level, no hoisting speedup)."""
+    n = ct[0][0].shape[-1]
+    return galois_hoisted(
+        ct, [pow(3, s, 2 * n) for s in steps], ksks, cfg,
+        _fallback_steps=steps,
+    )
+
+
+def galois_hoisted(ct, step_exps, ksks, cfg: HEConfig = DEFAULT_CONFIG,
+                   _fallback_steps=None):
+    """Hoisted form for ARBITRARY Galois exponents (the shared core of
+    rotate_hoisted; pass 2N-1 for conjugation).  step_exps: exponents
+    e of X -> X^e; ksks: matching keys (keys.gen_galois_key /
+    gen_conjugation_key planes)."""
+    assert len(step_exps) == len(ksks), (
+        f"{len(step_exps)} exponents but {len(ksks)} key-switch keys"
     )
     a, b = ct
-    n = a[0].shape[-1]
-    exps = [pow(3, s, 2 * n) for s in steps]
     if _use_stream() and os.environ.get("ALOHA_KS_KERNEL", "1") != "0":
         from aloha_tpu.ops import ks_kernel
 
-        return ks_kernel.rotate_planes_hoisted(a, b, exps, ksks, cfg)
-    return [rotate(ct, s, k, cfg) for s, k in zip(steps, ksks)]
+        return ks_kernel.rotate_planes_hoisted(a, b, step_exps, ksks, cfg)
+    if _fallback_steps is not None:
+        return [
+            rotate(ct, s, k, cfg)
+            for s, k in zip(_fallback_steps, ksks)
+        ]
+    return [galois(ct, e, k, cfg) for e, k in zip(step_exps, ksks)]
 
 
 def rotate_batch(cts, steps, ksks, cfg: HEConfig = DEFAULT_CONFIG):

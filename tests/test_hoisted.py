@@ -279,3 +279,27 @@ def test_kernel_hoisted_traced_keys(monkeypatch, material):
     oa, ob = fn(ctp, kp)
     assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
     assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
+
+
+def test_galois_hoisted_conjugate(monkeypatch, material):
+    """Hoisted CONJUGATION (exponent 2N-1, self-inverse) through the
+    shared galois_hoisted core — oracle vs kernel word-exact, and the
+    oracle decrypts to conjugated slots."""
+    pytest.importorskip("jax.experimental.pallas")
+    from aloha_tpu import he_planes, keys
+
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "2")
+    monkeypatch.setenv("ALOHA_NTT_IMPL", "stream")
+    sk, z, ct, _ = material
+    cjk = keys.gen_conjugation_key(sk, CFG, np.random.default_rng(90))
+    e = 2 * N - 1
+    want, = he_np.galois_hoisted(ct, [e], [cjk], CFG)
+    got = _slots(want, sk)
+    assert np.abs(got - np.conj(z)).max() < 1e-4
+    ctp = (he_planes.from_u64(ct.a), he_planes.from_u64(ct.b))
+    (oa, ob), = he_planes.galois_hoisted(
+        ctp, [e], [he_planes.from_u64(cjk)], CFG
+    )
+    assert np.array_equal(np.asarray(he_planes.to_u64(oa)), want.a)
+    assert np.array_equal(np.asarray(he_planes.to_u64(ob)), want.b)
