@@ -72,3 +72,22 @@ def test_tampered_special_prime_row_fans_out(material):
     bad = he.rotate(ct(), 2, tampered, CFG)
     frac = (bad.a != good.a).mean()
     assert frac > 0.99, f"only {frac:.3f} of a-part words differ"
+
+
+def test_tampered_ksk_word_localizes_hoisted(material):
+    """The same one-word localization through the HOISTED (lazy-gather)
+    path: the corrupted q0-lane product rides the inverse-gathered key,
+    so after the final output gather it must surface at exactly the
+    permuted position(s) of out.a[0] — still nowhere else.  Guards the
+    key-side automorphism bookkeeping (a perm/inverse mixup would smear
+    the corruption or move it to the wrong limb)."""
+    a, b, ksk2, _ = material
+    ct = lambda: he.Ciphertext(a=a.copy(), b=b.copy())  # noqa: E731
+    good, = he.rotate_hoisted(ct(), [2], [ksk2], CFG)
+    tampered = ksk2.copy()
+    tampered[0, 123] ^= np.uint64(1)
+    bad, = he.rotate_hoisted(ct(), [2], [tampered], CFG)
+    assert np.array_equal(bad.b, good.b)
+    assert np.array_equal(bad.a[1], good.a[1])
+    ndiff = int((bad.a[0] != good.a[0]).sum())
+    assert 1 <= ndiff <= 2, f"{ndiff} words differ in a[0]"
