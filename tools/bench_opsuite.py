@@ -261,7 +261,8 @@ def main():
     # ------------------------------------------------ BSGS matvec (E2E)
     if "matvec_bsgs" in sel:
         try:
-            D, G = 16, 4
+            D = int(os.environ.get("OPBENCH_MATVEC_D", "16"))
+            G = int(os.environ.get("OPBENCH_MATVEC_G", "4"))
             bg = (D + G - 1) // G
             diags_np = [rand_u64(()) for _ in range(D)]
             diags = [hp.from_u64(jnp.asarray(d)) for d in diags_np]
@@ -286,7 +287,7 @@ def main():
             results["ops"]["matvec_bsgs"] = {
                 "recorded": round(B / t_mv, 1),
                 "marginal": None,
-                "unit": f"matvec{D}/s/chip (D=16 diagonals, g=4)",
+                "unit": f"matvec{D}/s/chip (D={D} diagonals, g={G})",
                 "batch": B, "chain": 1,
                 "bitexact": ok,
                 "rotations_equivalent_per_s": round(
