@@ -19,6 +19,7 @@ Batch axes compose: arrays are (..., L, N) sharded (dp, "digit", None).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from aloha_tpu import ntt_jax as nt
 from aloha_tpu import rns_xla as r
 from aloha_tpu.config import DEFAULT_CONFIG, HEConfig
+
+
+def _use_kernel() -> bool:
+    """Route the per-shard raised-digit NTT sweep through the production
+    u32-plane multi-modulus streaming kernel (the composed form: the
+    digit-psum layer wraps the SAME kernel the single-chip path runs —
+    the reference's iconn/accumulator sits inside its engine, not a
+    separate slow path).  Gating mirrors he_planes._use_stream;
+    ALOHA_SHARD_KERNEL=0 disables."""
+    if os.environ.get("ALOHA_SHARD_KERNEL", "1") == "0":
+        return False
+    from aloha_tpu import he_planes
+
+    return he_planes._use_stream()
+
+
+def _ntt_multi_u64(xs, qs, roots):
+    """Forward-NTT a list of same-shape u64 arrays (one per modulus) in
+    ONE multi-modulus kernel launch; returns the transformed list."""
+    import numpy as np
+
+    from aloha_tpu.ops import ntt_stream as ns
+    from aloha_tpu.ops.ntt_pallas import LANES
+
+    shape = xs[0].shape
+    n = shape[-1]
+    rows = n // LANES
+    nb = int(np.prod(shape[:-1])) if shape[:-1] else 1
+    st = jnp.stack([x.reshape(nb, rows, LANES) for x in xs])
+    lo = (st & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (st >> jnp.uint64(32)).astype(jnp.uint32)
+    olo, ohi = ns.ntt_planes_multi(lo, hi, tuple(qs), tuple(roots))
+    out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
+    return [out[m].reshape(shape) for m in range(len(xs))]
 
 
 def _local_rotate_shard(a_l, b_l, ksk_l, step_exp, cfg: HEConfig, axis: str):
@@ -58,10 +93,12 @@ def _local_rotate_shard(a_l, b_l, ksk_l, step_exp, cfg: HEConfig, axis: str):
         )
     )
 
-    # raise this digit to every modulus, NTT, multiply with the key columns
-    contrib = []
+    # raise this digit to every modulus, NTT (ONE multi-modulus kernel
+    # launch on the composed path — the hot transform block runs the
+    # production streaming kernel per shard), multiply with the key
+    xs = []
     for m in range(L + 1):
-        x = per_limb(
+        xs.append(per_limb(
             lambda src: d
             if src == m
             else (
@@ -69,10 +106,18 @@ def _local_rotate_shard(a_l, b_l, ksk_l, step_exp, cfg: HEConfig, axis: str):
                 if moduli[m] > moduli[src]
                 else r.modred(d, moduli[m])
             )
-        )
-        ndm = nt.ntt(x, moduli[m], cfg.psi[m])
+        ))
+    if _use_kernel():
+        nds = _ntt_multi_u64(xs, moduli[:L + 1], cfg.psi[:L + 1])
+    else:
+        nds = [
+            nt.ntt(x, moduli[m], cfg.psi[m]) for m, x in enumerate(xs)
+        ]
+    contrib = []
+    for m in range(L + 1):
         pair = [
-            r.mulmod(ndm, ksk_l[m, part, 0], moduli[m]) for part in (0, 1)
+            r.mulmod(nds[m], ksk_l[m, part, 0], moduli[m])
+            for part in (0, 1)
         ]
         contrib.append(pair)
 
@@ -162,5 +207,9 @@ def rotate_sharded(
         mesh=mesh,
         in_specs=(ct_spec, ct_spec, ksk_spec),
         out_specs=(ct_spec, ct_spec),
+        # pallas_call results carry no varying-mesh-axes metadata; the
+        # composed kernel body needs the check off (outputs are honestly
+        # digit-varying, exactly as the specs state)
+        check_vma=False,
     )
     return f(a, b, ksk4)

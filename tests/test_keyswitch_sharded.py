@@ -71,3 +71,26 @@ def test_wrong_digit_axis_size():
     a = np.zeros((2, N), dtype=np.uint64)
     with pytest.raises(ValueError, match="digit axis"):
         rotate_sharded((a, a), 2, np.zeros((12, N), np.uint64), mesh, CFG)
+
+
+@requires_tv
+@requires_2dev
+def test_rotate_sharded_composed_kernel_body(monkeypatch):
+    """COMPOSED digit-psum keyswitch: the per-shard raised-digit NTT
+    sweep runs the production multi-modulus streaming Pallas kernel
+    (interpret mode on the CPU mesh) — bit-exact vs the same golden
+    rotation the XLA-body test pins."""
+    monkeypatch.setenv("ALOHA_STREAM_INTERPRET", "1")
+    monkeypatch.setenv("ALOHA_STREAM_BP", "1")
+    case = "case0_4_4"
+    a, b = _ct(load_tv(case, "kernel1_ct_before_rotate"))
+    ksk = load_tv(case, "ksk_step2").reshape(12, N)
+    want = load_tv(case, "kernel1_ct_after_rotate").reshape(4, N)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("digit",))
+    sh = NamedSharding(mesh, P("digit", None))
+    out_a, out_b = rotate_sharded(
+        (jax.device_put(a, sh), jax.device_put(b, sh)), 2, ksk, mesh, CFG
+    )
+    assert (np.asarray(out_a) == want[:2]).all()
+    assert (np.asarray(out_b) == want[2:]).all()
