@@ -799,6 +799,8 @@ def rotate_planes_hoisted(a, b, step_exps, ksks, cfg: HEConfig):
     assert len(step_exps) == len(ksks), (
         f"{len(step_exps)} steps but {len(ksks)} key-switch keys"
     )
+    if not step_exps:
+        return []
     L = cfg.n_limbs
     rows = cfg.n // LANES
     alo, ahi = a
@@ -831,19 +833,28 @@ def rotate_planes_hoisted(a, b, step_exps, ksks, cfg: HEConfig):
         nlo, nhi, pack(alo), pack(ahi),
         klo, khi, cfg, kshoup=kshoup, shared_inputs=True,
     )
+    return _unpack_gathered(olo, ohi, step_exps, batch, nb, cfg)
 
+
+def _unpack_gathered(olo, ohi, step_exps, batch, nb, cfg: HEConfig):
+    """Shared epilogue of the lazy-gather paths: slice each step's
+    block out of the step-major tail output (L, K*nb, 2, rows, LANES)
+    and apply ITS output gather — returns the per-step list of
+    ((a_lo, a_hi), (b_lo, b_hi)) plane ciphertexts."""
+    L = cfg.n_limbs
+    n = cfg.n
     perms = [jnp.asarray(_ntt_aut_perm_np(n, e)) for e in step_exps]
 
     def unpack(t, k, part):
         u = jnp.moveaxis(t[:, k * nb:(k + 1) * nb, part], 0, 1)
         return jnp.take(
-            u.reshape(batch + (L, cfg.n)), perms[k], axis=-1
+            u.reshape(batch + (L, n)), perms[k], axis=-1
         )
 
     return [
         ((unpack(olo, k, 0), unpack(ohi, k, 0)),
          (unpack(olo, k, 1), unpack(ohi, k, 1)))
-        for k in range(K)
+        for k in range(len(step_exps))
     ]
 
 
@@ -895,17 +906,4 @@ def rotate_planes_batch(cts, step_exps, ksks, cfg: HEConfig):
         packK([ct[0][1] for ct in cts]),
         klo, khi, cfg, kshoup=kshoup,
     )
-
-    perms = [jnp.asarray(_ntt_aut_perm_np(n, e)) for e in step_exps]
-
-    def unpack(t, k, part):
-        u = jnp.moveaxis(t[:, k * nb:(k + 1) * nb, part], 0, 1)
-        return jnp.take(
-            u.reshape(batch + (L, cfg.n)), perms[k], axis=-1
-        )
-
-    return [
-        ((unpack(olo, k, 0), unpack(ohi, k, 0)),
-         (unpack(olo, k, 1), unpack(ohi, k, 1)))
-        for k in range(K)
-    ]
+    return _unpack_gathered(olo, ohi, step_exps, batch, nb, cfg)

@@ -141,18 +141,13 @@ def intt_sharded(a, q: int, ipsi: int, mesh: Mesh, axis: str = "coeff"):
 # src/vp/iconn/iconn_top.sv:56-58, not in a separate slow path).
 # --------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
 def _tables6_global_np(n: int, root: int, q: int, inverse: bool):
     """Global-ring stage tables in the streaming kernel's 6-plane format
-    ((logn, rows, LANES) each): w as u32 (lo, hi), Shoup constants as
-    four 16-bit limb planes."""
-    import numpy as np
+    ((logn, rows, LANES) each) — exactly ntt_stream's own builder, so
+    the composed path can never drift from the kernel's table layout."""
+    from aloha_tpu.ops import ntt_stream as ns
 
-    from aloha_tpu.ops import ntt_pallas as K
-
-    w_lo, w_hi, s_lo, s_hi = K._tables_np(n, root, q, inverse)
-    m = np.uint32(0xFFFF)
-    return (w_lo, w_hi, s_lo & m, s_lo >> 16, s_hi & m, s_hi >> 16)
+    return ns._tables6_np(n, root, q, inverse)
 
 
 def _plane_specs(n: int, mesh: Mesh, axis: str):

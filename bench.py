@@ -117,10 +117,24 @@ def _run_child(env_extra: dict, budget: int):
                 pass
 
         def _on_term(signum, frame):
+            # May interrupt a _drain() mid-flight (offset already
+            # advanced past unprinted bytes), so re-scan the WHOLE file
+            # and reprint the definitive last metric line — a duplicate
+            # line is harmless (the record is the LAST line), a lost
+            # final improvement is not.
             print("# bench parent got SIGTERM; salvaging", file=sys.stderr)
             _kill_child()
             proc.wait()
-            _drain()
+            try:
+                full = os.pread(fd, 1 << 26, 0)
+                for raw in full.split(b"\n"):
+                    line = raw.decode("utf-8", errors="replace")
+                    if line.startswith("{"):
+                        state["best"] = line
+                if state["best"]:
+                    print(state["best"], flush=True)
+            except OSError:
+                pass
             sys.stdout.flush()
             os._exit(0 if state["best"] else 1)
 

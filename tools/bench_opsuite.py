@@ -209,6 +209,14 @@ def main():
             results["ops"][name] = {
                 "recorded": round(B * k / t_hi, 1),
                 "marginal": marginal,
+                # a slope measured from a sub-5ms half-vs-full delta is
+                # inside tunnel timing noise — keep the number (it IS
+                # the device-rate asymptote for dispatch-dominated ops)
+                # but mark its confidence so round-over-round readers
+                # don't normalize on a phantom
+                "marginal_reliable": bool(
+                    t_hi > t_lo and (t_hi - t_lo) > 0.005
+                ),
                 "unit": "ops/s/chip",
                 "batch": B, "chain": k,
                 "bitexact": ok,
