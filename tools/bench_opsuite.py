@@ -112,6 +112,11 @@ def main():
             he_np.Ciphertext(a=a2[i], b=b2[i]), CFG,
         )
 
+    def o_encode_post(c, i):
+        # NTT-only program (reference: isram encode_post.mem) on the
+        # a-plane; b rides along unchanged so the chain stays ct-shaped
+        return he_np.Ciphertext(a=he_np.encode_post(c.a, CFG), b=c.b)
+
     ops = {
         "hom_add": (lambda ct: hp.hom_add(ct, ct2, CFG), o_hom_add, K * 8),
         "mul_plain": (lambda ct: hp.mul_plain(ct, pt, CFG), o_mul_plain,
@@ -129,6 +134,10 @@ def main():
                 ct2, CFG,
             ),
             o_matvec_step, K,
+        ),
+        "encode_post": (
+            lambda ct: (hp.encode_post(ct[0], CFG), ct[1]),
+            o_encode_post, K * 4,
         ),
     }
 
@@ -153,6 +162,17 @@ def main():
                     f"best of {TRIALS}",
         "ops": {},
     }
+    # incremental re-runs (OPS=subset) merge into an existing artifact:
+    # previously-measured rows are kept, re-measured rows overwrite, and
+    # the top-level epoch sample reflects THIS run (older rows may carry
+    # their own per-op epoch field)
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            results["ops"].update(prev.get("ops", {}))
+        except (OSError, ValueError):
+            pass
 
     def flush():
         with open(out_path, "w") as f:
